@@ -1,0 +1,36 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Must set env vars before jax is imported anywhere.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # the session presets axon (TPU)
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# sitecustomize may have imported jax already (axon PJRT registration), in
+# which case the env var is too late — override through the config API.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def has_reference() -> bool:
+    return os.path.isdir(REFERENCE_ROOT)
+
+
+def add_reference_to_path():
+    """Make the read-only torch reference importable for golden tests."""
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)

@@ -1,0 +1,106 @@
+"""Configuration dataclasses for the V2CE TPU pipeline.
+
+Mirrors the CLI surface of the reference toolbox (reference: v2ce.py:283-301)
+as typed, hashable configs so they can be closed over by jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+# DVS sensor geometry of the DAVIS346 the reference targets
+# (reference: scripts/LDATI.py:329, v2ce.py:295-296).
+SENSOR_HEIGHT = 260
+SENSOR_WIDTH = 346
+NUM_TIME_BINS = 10          # voxel channels predicted by stage 1 (per polarity)
+NUM_POLARITIES = 2
+SEQ_LEN = 16                # frames per model window (reference: v2ce.py:285)
+
+# Normalization constants (reference: v2ce.py:53-54).
+FRAME_MEAN = 0.153
+FRAME_STD = 0.165
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Stage-1 3D-UNet hyperparameters (reference: scripts/v2ce_3d.py:12-24)."""
+
+    in_channels: int = 2
+    out_channels: int = NUM_POLARITIES * NUM_TIME_BINS
+    num_encoders: int = 4
+    base_num_channels: int = 32
+    num_residual_blocks: int = 2
+    skip_type: str = "concat"          # 'concat' | 'sum'
+    norm: Optional[str] = "BN"
+    spectral_norm: bool = True
+    final_activation: str = "relu"
+    # Compute dtype for conv FLOPs on TPU; params stay float32.
+    compute_dtype: jnp.dtype = jnp.float32
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerConfig:
+    """Stage-2 LDATI sampler settings (reference: scripts/LDATI.py:126-214).
+
+    The reference sizes its "additional events" buffer by the *global max*
+    voxel count at runtime (LDATI.py:169-171) — a data-dependent shape. We
+    use a static per-voxel cap plus overflow accounting so the whole sampler
+    stays inside one XLA graph.
+    """
+
+    fps: int = 30
+    additional_events_strategy: str = "slope"   # 'none' | 'random' | 'slope'
+    pooling_type: str = "none"                   # 'none' | 'avg' | 'weighted'
+    pooling_kernel_size: int = 3
+    bidirectional: bool = False
+    max_events_per_voxel: int = 32               # static cap replacing max(y)
+    event_capacity: int = 1 << 19                # per-frame SoA buffer slots
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """End-to-end inference settings (reference: v2ce.py:283-301)."""
+
+    infer_type: str = "center"    # 'center' | 'pano'
+    seq_len: int = SEQ_LEN
+    height: int = SENSOR_HEIGHT
+    width: int = SENSOR_WIDTH
+    batch_size: int = 1
+    fps: int = 30
+    max_frame_num: int = 1800
+    ceil: int = 10
+    upper_bound_percentile: int = 98
+    vis_keep_polarity: bool = True
+    stage2_batch_size: int = 24
+    write_event_frame_video: bool = True
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    sampler: SamplerConfig = dataclasses.field(default_factory=SamplerConfig)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training hyperparameters (reference: train/main.py:85-195)."""
+
+    lr: float = 1e-3
+    weight_decay: float = 1e-5
+    lr_scheduler: Optional[str] = "step"   # 'step' | 'cosine' | None
+    lr_decay_steps: int = 20
+    lr_decay_rate: float = 0.5
+    lr_decay_min_lr: float = 1e-5
+    batch_size: int = 2
+    max_epochs: int = 100
+    seed: int = 1234
+    loss: str = "ef+pyramid"
+    metrics: Tuple[str, ...] = (
+        "BinaryMatch_raw",
+        "BinaryMatch_sum_c",
+        "BinaryMatch_sum_cp",
+        "BinaryMatchF1_raw",
+        "BinaryMatchF1_sum_c",
+        "BinaryMatchF1_sum_cp",
+        "PoolMSE_2",
+        "PoolMSE_4",
+    )

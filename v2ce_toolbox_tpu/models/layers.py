@@ -1,0 +1,275 @@
+"""Building-block layers for the V2CE stage-1 models, in flax.linen.
+
+TPU-first design notes
+----------------------
+- All tensors are channels-last: 3D feature maps are (B, L, H, W, C) with the
+  frame axis L acting as the conv "depth" dimension. XLA tiles channels-last
+  convs straight onto the MXU; the reference's NCDHW torch layout
+  (reference: scripts/submodules.py:85-124) is never materialized.
+- Spectral norm follows the reference's module-wrapper semantics
+  (reference: scripts/spectral_norm.py:19-31,62-64): ONE power iteration from
+  the stored (u, v) on every forward, sigma computed with the *updated*
+  vectors. In training mode the updated vectors are written back into the
+  'sn' variable collection; in inference the iteration still runs (it is a
+  couple of tiny matvecs) but nothing mutates, which reproduces the torch
+  model's first eval forward bit-for-bit given converted weights.
+- BatchNorm keeps torch conventions: epsilon 1e-5; flax momentum is
+  (1 - torch_momentum). ConvLayer3D uses torch momentum 0.01
+  (reference: scripts/submodules.py:111) and ResidualBlock3D uses the torch
+  default 0.1 (reference: scripts/submodules.py:230).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = jnp.dtype
+
+
+def _l2normalize(v: jax.Array, eps: float = 1e-12) -> jax.Array:
+    # reference: scripts/spectral_norm.py:5-6
+    return v / (jnp.linalg.norm(v) + eps)
+
+
+def _kaiming_normal_conv_init(gain_a: float = 10.0):
+    """Kaiming-normal init with the reference's a=10 leaky slope
+    (reference: scripts/unet_2layer.py:255-261 uses
+    nn.init.kaiming_normal_(w, 10.)), i.e. std = gain / sqrt(fan_in) with
+    gain = sqrt(2 / (1 + a^2))."""
+
+    def init(key, shape, dtype=jnp.float32):
+        # shape: (*spatial, in_ch, out_ch); fan_in = in_ch * prod(spatial)
+        receptive = math.prod(shape[:-2])
+        fan_in = shape[-2] * receptive
+        gain = math.sqrt(2.0 / (1.0 + gain_a ** 2))
+        std = gain / math.sqrt(fan_in)
+        return std * jax.random.normal(key, shape, dtype)
+
+    return init
+
+
+class SNConv(nn.Module):
+    """Conv (any spatial rank) with the reference's custom spectral norm.
+
+    Stores `kernel_bar` as the trainable parameter and (u, v) power-iteration
+    vectors in the 'sn' collection, flattened in the torch (O, I, *spatial)
+    order so converted checkpoints iterate over the exact same matrix.
+    """
+
+    features: int
+    kernel_size: Tuple[int, ...]
+    strides: Tuple[int, ...]
+    padding: Sequence[Tuple[int, int]]
+    use_bias: bool = True
+    compute_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        kshape = (*self.kernel_size, in_ch, self.features)
+        kernel_bar = self.param("kernel_bar", _kaiming_normal_conv_init(), kshape)
+
+        out_dim = self.features
+        flat_dim = in_ch * math.prod(self.kernel_size)
+        u_var = self.variable(
+            "sn", "u",
+            lambda: _l2normalize(jax.random.normal(
+                self.make_rng("params") if self.has_rng("params") else jax.random.key(0),
+                (out_dim,))))
+        v_var = self.variable(
+            "sn", "v",
+            lambda: _l2normalize(jax.random.normal(
+                self.make_rng("params") if self.has_rng("params") else jax.random.key(1),
+                (flat_dim,))))
+
+        # torch layout (O, I, *spatial) flattening (reference:
+        # scripts/spectral_norm.py:26-30). kernel_bar is (*spatial, I, O).
+        ndim_sp = len(self.kernel_size)
+        perm = (ndim_sp + 1, ndim_sp) + tuple(range(ndim_sp))
+        w2d = jnp.transpose(kernel_bar, perm).reshape(out_dim, flat_dim)
+        w2d = w2d.astype(jnp.float32)
+
+        v = _l2normalize(w2d.T @ u_var.value)
+        u = _l2normalize(w2d @ v)
+        sigma = u @ (w2d @ v)
+
+        if not self.is_initializing() and self.is_mutable_collection("sn"):
+            u_var.value = u
+            v_var.value = v
+
+        kernel = (kernel_bar / sigma).astype(self.compute_dtype)
+
+        dn_in = "N" + "DHW"[3 - ndim_sp:] + "C"
+        dn_k = "DHW"[3 - ndim_sp:] + "IO"
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.compute_dtype),
+            kernel,
+            window_strides=self.strides,
+            padding=list(self.padding),
+            dimension_numbers=(dn_in, dn_k, dn_in),
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias
+        return y
+
+
+class Conv(nn.Module):
+    """Plain conv with torch-compatible explicit padding and kaiming-a10 init."""
+
+    features: int
+    kernel_size: Tuple[int, ...]
+    strides: Tuple[int, ...]
+    padding: Sequence[Tuple[int, int]]
+    use_bias: bool = True
+    compute_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        kshape = (*self.kernel_size, in_ch, self.features)
+        kernel = self.param("kernel", _kaiming_normal_conv_init(), kshape)
+        ndim_sp = len(self.kernel_size)
+        dn_in = "N" + "DHW"[3 - ndim_sp:] + "C"
+        dn_k = "DHW"[3 - ndim_sp:] + "IO"
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.compute_dtype),
+            kernel.astype(self.compute_dtype),
+            window_strides=self.strides,
+            padding=list(self.padding),
+            dimension_numbers=(dn_in, dn_k, dn_in),
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias
+        return y
+
+
+def _activation(name: Optional[str]):
+    """Resolve the reference's activation names (reference:
+    scripts/submodules.py:100-105: 'LeakyReLU' -> nn.LeakyReLU() with torch
+    default slope 0.01; anything else -> getattr(torch, name))."""
+    if name is None:
+        return None
+    if name == "LeakyReLU":
+        return lambda x: jax.nn.leaky_relu(x, negative_slope=0.01)
+    if name == "relu":
+        return jax.nn.relu
+    if name == "sigmoid":
+        return jax.nn.sigmoid
+    if name == "tanh":
+        return jnp.tanh
+    raise ValueError(f"unknown activation {name!r}")
+
+
+class BatchNorm(nn.Module):
+    """Torch-convention BatchNorm over the channel (last) axis."""
+
+    torch_momentum: float = 0.1
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        bn = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=1.0 - self.torch_momentum,
+            epsilon=self.epsilon,
+            dtype=jnp.float32,
+            name="bn",
+        )
+        return bn(x)
+
+
+class ConvLayer3D(nn.Module):
+    """conv3d + optional BN + optional activation
+    (reference: scripts/submodules.py:85-124)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: Tuple[int, int, int] = (1, 1, 1)
+    padding: int = 0
+    activation: Optional[str] = "LeakyReLU"
+    norm: Optional[str] = None
+    sn: bool = False
+    compute_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        use_bias = self.norm != "BN"   # reference: submodules.py:95
+        k = (self.kernel_size,) * 3
+        pad = ((self.padding, self.padding),) * 3
+        conv_cls = SNConv if self.sn else Conv
+        kw = dict(features=self.features, kernel_size=k, strides=self.stride,
+                  padding=pad, use_bias=use_bias, compute_dtype=self.compute_dtype)
+        out = conv_cls(name="conv", **kw)(x)
+        if self.norm == "BN":
+            # reference: submodules.py:111 — BatchNorm3d(momentum=0.01)
+            out = BatchNorm(torch_momentum=0.01, name="norm")(out, train=train)
+        act = _activation(self.activation)
+        if act is not None:
+            out = act(out)
+        return out
+
+
+class ResidualBlock3D(nn.Module):
+    """conv-bn-relu-conv-bn + projection shortcut
+    (reference: scripts/submodules.py:216-264)."""
+
+    features: int
+    stride: Tuple[int, int, int] = (1, 1, 1)
+    norm: Optional[str] = None
+    sn: bool = False
+    compute_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        in_ch = x.shape[-1]
+        use_bias = self.norm != "BN"
+        conv_cls = SNConv if self.sn else Conv
+        pad1 = ((1, 1), (1, 1), (1, 1))
+
+        out = conv_cls(name="conv1", features=self.features, kernel_size=(3, 3, 3),
+                       strides=self.stride, padding=pad1, use_bias=use_bias,
+                       compute_dtype=self.compute_dtype)(x)
+        if self.norm in ("BN", "IN"):
+            out = BatchNorm(name="bn1")(out, train=train)
+        out = jax.nn.relu(out)
+        out = conv_cls(name="conv2", features=self.features, kernel_size=(3, 3, 3),
+                       strides=(1, 1, 1), padding=pad1, use_bias=use_bias,
+                       compute_dtype=self.compute_dtype)(out)
+        if self.norm in ("BN", "IN"):
+            out = BatchNorm(name="bn2")(out, train=train)
+
+        # Projection path: 1x1x1 conv (bias=True — torch Conv3d default)
+        # followed by an unconditional BatchNorm. The reference guards this
+        # with `not (stride == 1 and in==out)`, but stride has already been
+        # normalized to a tuple there, so `stride == 1` is always False and
+        # EVERY block gets the projection — including the identity-shaped
+        # bottleneck resblocks (reference: submodules.py:220,244-247).
+        residual = Conv(name="downsample_conv", features=self.features,
+                        kernel_size=(1, 1, 1), strides=self.stride,
+                        padding=((0, 0),) * 3, use_bias=True,
+                        compute_dtype=self.compute_dtype)(x)
+        residual = BatchNorm(name="downsample_bn")(residual, train=train)
+
+        return jax.nn.relu(out + residual)
+
+
+def upsample_nearest_to(x: jax.Array, target_hw: Tuple[int, int]) -> jax.Array:
+    """Nearest-neighbor upsample of (B, L, H, W, C) to a target (H, W) using
+    torch's F.interpolate index convention src = floor(dst * in / out)
+    (reference: scripts/unet_2layer.py:358-362). jax.image.resize uses
+    pixel-center sampling which differs for odd sizes like 260/346, so we
+    gather with explicit indices instead."""
+    th, tw = target_hw
+    h, w = x.shape[2], x.shape[3]
+    hi = (jnp.arange(th) * h) // th
+    wi = (jnp.arange(tw) * w) // tw
+    return x[:, :, hi][:, :, :, wi]

@@ -1,0 +1,82 @@
+"""3D recurrent-free UNet for event-voxel prediction, channels-last.
+
+Architecture parity with the reference UNet3D
+(reference: scripts/unet_2layer.py:203-378):
+
+  head:      ConvLayer3D(in -> 32, k3 s1 p1, LeakyReLU, no norm, no SN)
+  encoders:  4x ResidualBlock3D stride (1,2,2) (frames preserved, spatial /2)
+             32->64->128->256->512, BN, no SN
+  resblocks: 2x ResidualBlock3D 512->512, BN, SN
+  decoders:  per-frame nearest upsample to the skip's (H, W), concat skip
+             (1.5x channels), ResidualBlock3D -> half channels, BN, SN
+  pred:      ConvLayer3D(32 -> out, k1, activation) + activation
+
+Tensors are (B, L, H, W, C); the frame axis L is the conv depth dim.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from v2ce_toolbox_tpu.models.layers import (
+    ConvLayer3D,
+    ResidualBlock3D,
+    upsample_nearest_to,
+)
+
+
+class UNet3D(nn.Module):
+    num_input_channels: int = 2
+    num_output_channels: int = 20
+    skip_type: str = "concat"          # 'concat' | 'sum'
+    activation: str = "relu"
+    num_encoders: int = 4
+    base_num_channels: int = 32
+    num_residual_blocks: int = 2
+    norm: Optional[str] = "BN"
+    sn: bool = True
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        cd = self.compute_dtype
+        base = self.base_num_channels
+        max_ch = base * (2 ** self.num_encoders)
+
+        x = ConvLayer3D(name="head", features=base, kernel_size=3,
+                        stride=(1, 1, 1), padding=1, activation="LeakyReLU",
+                        norm=None, sn=False, compute_dtype=cd)(x, train=train)
+
+        skips = []
+        for i in range(self.num_encoders):
+            skips.append(x)
+            x = ResidualBlock3D(name=f"encoder_{i}",
+                                features=base * (2 ** (i + 1)),
+                                stride=(1, 2, 2), norm=self.norm, sn=False,
+                                compute_dtype=cd)(x, train=train)
+
+        for i in range(self.num_residual_blocks):
+            x = ResidualBlock3D(name=f"resblock_{i}", features=max_ch,
+                                stride=(1, 1, 1), norm=self.norm, sn=self.sn,
+                                compute_dtype=cd)(x, train=train)
+
+        for i, skip in enumerate(reversed(skips)):
+            x = upsample_nearest_to(x, (skip.shape[2], skip.shape[3]))
+            if self.skip_type == "concat":
+                x = jnp.concatenate([x, skip], axis=-1)
+            else:
+                x = x + skip
+            x = ResidualBlock3D(name=f"decoder_{i}",
+                                features=max_ch // (2 ** (i + 1)),
+                                stride=(1, 1, 1), norm=self.norm, sn=self.sn,
+                                compute_dtype=cd)(x, train=train)
+
+        x = ConvLayer3D(name="pred", features=self.num_output_channels,
+                        kernel_size=1, stride=(1, 1, 1), padding=0,
+                        activation=self.activation, norm=None, sn=False,
+                        compute_dtype=cd)(x, train=train)
+        return x
