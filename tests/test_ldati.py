@@ -1,0 +1,213 @@
+"""Golden tests: TPU LDATI sampler vs the torch reference.
+
+Deterministic sub-stages (relocation, slope fit, chain timestamps, event
+counts) must match the reference exactly; the stochastic additional-event
+timestamps are validated distributionally (the north star is
+distribution-matched streams — torch and jax RNGs cannot match bitwise).
+"""
+
+import numpy as np
+import pytest
+
+from tests import conftest as _cf
+
+torch = pytest.importorskip("torch")
+
+_cf.add_reference_to_path()
+
+
+def _rand_voxels(shape, seed=0, scale=3.0, sparsity=0.5):
+    """Non-negative, somewhat sparse voxels resembling relu outputs."""
+    rng = np.random.RandomState(seed)
+    v = rng.rand(*shape).astype(np.float32) * scale
+    mask = rng.rand(*shape) < sparsity
+    return (v * mask).astype(np.float32)
+
+
+@pytest.mark.parametrize("bidirectional", [False, True])
+def test_relocate_counts_parity(bidirectional):
+    from scripts.LDATI import y_relocate as torch_relocate
+
+    from v2ce_toolbox_tpu.ops.ldati import relocate_counts
+
+    y = _rand_voxels((4, 10, 12, 17), seed=3)
+    ref_counts, ref_tend = torch_relocate(
+        torch.from_numpy(y), bidirectional=bidirectional
+    )
+    counts, tend = relocate_counts(
+        np.asarray(y), bidirectional=bidirectional
+    )
+    np.testing.assert_array_equal(np.asarray(counts), ref_counts.numpy())
+    np.testing.assert_allclose(
+        np.asarray(tend), ref_tend.numpy(), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_relocate_erase_beginning():
+    from scripts.LDATI import y_relocate as torch_relocate
+
+    from v2ce_toolbox_tpu.ops.ldati import relocate_counts
+
+    y = _rand_voxels((2, 10, 6, 7), seed=9, scale=0.02, sparsity=1.0)
+    ref_counts, _ = torch_relocate(torch.from_numpy(y), erase_beginning=True)
+    counts, _ = relocate_counts(np.asarray(y), erase_beginning=True)
+    np.testing.assert_array_equal(np.asarray(counts), ref_counts.numpy())
+
+
+@pytest.mark.parametrize("pooling", ["none", "avg", "weighted"])
+def test_slope_params_parity(pooling):
+    """Our closed-form slope equals the reference's conv1d least squares,
+    including its normalization (reference: LDATI.py:176-190)."""
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    from scripts.LDATI import calculate_statistical_linear_params_for_stage2
+
+    from v2ce_toolbox_tpu.ops.ldati import slope_params
+
+    fps = 30
+    counts = _rand_voxels((2, 9, 10, 13), seed=5, scale=6.0).round()
+    voxel_step = 1.0 / fps / counts.shape[1]
+
+    ty = torch.from_numpy(counts)
+    if pooling == "weighted":
+        kern = torch.tensor([[1, 2, 1], [2, 4, 2], [1, 2, 1]], dtype=torch.float) / 16
+        kern = kern.unsqueeze(0).unsqueeze(0)
+        n, c, h, w = ty.shape
+        y_pooled = F.conv2d(ty.reshape(n * c, 1, h, w), kern, padding=1).reshape(
+            n, c, h, w
+        )
+    elif pooling == "avg":
+        y_pooled = nn.AvgPool2d(kernel_size=3, stride=1, padding=1)(ty)
+    else:
+        y_pooled = ty
+    ref_k = (
+        calculate_statistical_linear_params_for_stage2(y_pooled)
+        / (voxel_step ** 2)
+        / (y_pooled + 1e-8)
+    ).numpy()
+    ref_b = 1.0 / voxel_step - voxel_step * ref_k / 2.0
+
+    k, b = slope_params(np.asarray(counts), fps, pooling_type=pooling)
+    np.testing.assert_allclose(np.asarray(k), ref_k, rtol=1e-4, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(b), ref_b, rtol=1e-4, atol=1e-2)
+
+
+def _ref_sample(y, **kw):
+    from scripts.LDATI import sample_voxel_statistical as torch_sample
+
+    return torch_sample(torch.from_numpy(y), **kw)
+
+
+def _rec_tuples(rec):
+    return sorted(
+        zip(
+            rec["x"].tolist(),
+            rec["y"].tolist(),
+            rec["polarity"].tolist(),
+            rec["timestamp"].tolist(),
+        )
+    )
+
+
+def test_strategy_none_exact_parity():
+    """With additional_events_strategy='none' the sampler is fully
+    deterministic: only count==1 chain events are emitted
+    (reference: LDATI.py:228,241-245) — event sets must match exactly
+    (timestamps within 1 µs: the reference computes them in float64)."""
+    from v2ce_toolbox_tpu.ops.ldati import sample_voxel_statistical
+
+    y = _rand_voxels((3, 2, 10, 9, 11), seed=21, scale=2.0)
+    ref = _ref_sample(y, additional_events_strategy="none")
+    ours = sample_voxel_statistical(y, additional_events_strategy="none",
+                                    capacity=4096)
+    assert len(ref) == len(ours)
+    for r, o in zip(ref, ours):
+        assert len(r) == len(o)
+        rt = _rec_tuples(r)
+        ot = _rec_tuples(o)
+        for (rx, ry, rp, rts), (ox, oy, op_, ots) in zip(rt, ot):
+            assert (rx, ry, rp) == (ox, oy, op_)
+            assert abs(rts - ots) <= 1
+
+
+@pytest.mark.parametrize("strategy", ["slope", "random"])
+def test_count_conservation(strategy):
+    """Event counts are deterministic given the voxels: per-frame totals and
+    per-(x, y, polarity) counts must match the reference exactly."""
+    from v2ce_toolbox_tpu.ops.ldati import sample_voxel_statistical
+
+    y = _rand_voxels((2, 2, 10, 9, 11), seed=33, scale=4.0)
+    torch.manual_seed(0)
+    ref = _ref_sample(y, additional_events_strategy=strategy)
+    ours = sample_voxel_statistical(y, additional_events_strategy=strategy,
+                                    capacity=1 << 14, max_events_per_voxel=32)
+    h, w = y.shape[-2:]
+    for r, o in zip(ref, ours):
+        assert len(r) == len(o)
+        ref_grid = np.zeros((2, h, w), np.int64)
+        our_grid = np.zeros((2, h, w), np.int64)
+        np.add.at(ref_grid, (r["polarity"], r["y"], r["x"]), 1)
+        np.add.at(our_grid, (o["polarity"], o["y"], o["x"]), 1)
+        np.testing.assert_array_equal(our_grid, ref_grid)
+
+
+def test_slope_timestamps_in_bin_and_sorted():
+    from v2ce_toolbox_tpu.ops.ldati import sample_voxel_statistical
+
+    fps = 30
+    y = _rand_voxels((2, 2, 10, 9, 11), seed=7, scale=5.0)
+    ours = sample_voxel_statistical(y, fps=fps, capacity=1 << 14,
+                                    max_events_per_voxel=32)
+    for rec in ours:
+        ts = rec["timestamp"]
+        assert np.all(np.diff(ts) >= 0), "stream must be time-sorted"
+        assert ts.min() >= 0
+        # all events inside the frame window (9 bins of 1/fps/9 each)
+        assert ts.max() <= int(1e6 / fps) + 2
+
+
+def test_timestamp_distribution_slope():
+    """Distributional check: with a strong positive slope, later sub-bin
+    times must be denser than earlier ones (linear density k*t + b)."""
+    from v2ce_toolbox_tpu.ops.ldati import sample_events
+
+    import jax
+    import jax.numpy as jnp
+
+    fps = 30
+    # Voxels shaped to give bin 4 a large positive slope: ramp over bins.
+    h = w = 24
+    c = 10
+    y = np.zeros((1, 2, c, h, w), np.float32)
+    y[:, :, :, :, :] = np.linspace(0, 8, c)[None, None, :, None, None]
+    stream = sample_events(jnp.asarray(y), jax.random.key(1), fps=fps,
+                           capacity=1 << 16, max_events_per_voxel=32)
+    t = np.asarray(stream.t_us[0][: int(stream.count[0])])
+    cb = c - 1
+    voxel_step_us = 1e6 / fps / cb
+    # Take events of an interior bin and check within-bin skew: mean of the
+    # sub-bin offset should exceed voxel_step/2 for a positive slope.
+    bin_idx = (t / voxel_step_us).astype(int).clip(0, cb - 1)
+    sub = t - bin_idx * voxel_step_us
+    interior = (bin_idx >= 2) & (bin_idx <= 6)
+    assert interior.sum() > 1000
+    # Expected relative mean for the ramp is ~0.515-0.52 of a bin; a uniform
+    # sampler gives 0.50. 0.51 separates the two by many standard errors.
+    assert sub[interior].mean() > 0.51 * voxel_step_us
+
+
+def test_overflow_accounting():
+    """Voxels above the per-voxel cap report dropped events instead of
+    silently truncating."""
+    from v2ce_toolbox_tpu.ops.ldati import sample_events
+
+    import jax
+    import jax.numpy as jnp
+
+    y = np.zeros((1, 2, 10, 4, 5), np.float32)
+    y[0, 0, 3, 2, 2] = 9.0   # 9 events in one voxel
+    stream = sample_events(jnp.asarray(y), jax.random.key(0),
+                           max_events_per_voxel=4, capacity=1024)
+    assert int(stream.dropped[0]) == 5
+    assert int(stream.count[0]) >= 4

@@ -1,0 +1,462 @@
+"""LDATI — stage-2 statistical event sampler, as fixed-shape XLA.
+
+Re-design of the reference sampler (reference: scripts/LDATI.py:126-310) for
+TPU. The reference pipeline is:
+
+  1. ``y_relocate``: a left-to-right debt-carrying ceil over the 10 time
+     bins turns continuous voxel values into integer per-voxel event counts
+     plus a fractional "tendency" (the sub-bin offset of the chained event)
+     (LDATI.py:80-123). The 10 input bins produce 9 output bins.
+  2. Chain timestamps: tendency * voxel_step + bin start + t0, in int µs
+     (LDATI.py:155-165).
+  3. Voxels with count >= 2 draw *all* their events from a linear-density
+     inverse CDF whose slope comes from a 3-tap least-squares fit over
+     neighboring bins (LDATI.py:13-51, 188-196); count == 1 voxels keep the
+     deterministic chain timestamp (LDATI.py:228); count == 1 voxels are
+     excluded from the additional draw (LDATI.py:236).
+  4. ``pick_and_sort``: a python loop over batch x channel doing boolean
+     gathers, hstacks, argsort, and GPU->CPU transfers per channel
+     (LDATI.py:248-310).
+
+The TPU version keeps (1)-(3) as vectorized jnp (scan over bins for the
+debt chain) and replaces (4) with a *sort-based* stream compaction (XLA
+scatter serializes on TPU; sort and top_k are the fast primitives):
+
+  - every voxel contributes one first-event candidate (key = timestamp if
+    it emits, else INT32_MAX);
+  - voxels emitting >= 2 events are compacted with `lax.top_k` into a
+    static pool of `max_multi_voxels`; each pool slot contributes up to
+    `max_events_per_voxel - 1` extra candidates;
+  - one key-value sort over all candidates orders the frame by timestamp
+    and pushes invalid slots to the tail; the first `capacity` slots are
+    the event buffer. Voxel ids ride along as the sort payload and are
+    decoded to (x, y, polarity) afterwards.
+
+Candidates that don't fit (per-voxel cap, multi-voxel pool, buffer
+capacity) are counted in `dropped` — never silently lost. This removes
+every data-dependent shape (the reference sizes its buffer by the *runtime*
+max voxel count, LDATI.py:169-171), every per-channel python loop, and
+every device->host sync from the hot path.
+
+Numerics notes:
+  - The reference computes chain timestamps in float64 (its tendency tensor
+    is torch float64); we stay in float32, which can shift a truncated µs
+    timestamp by 1 the rare time a value lands on an integer boundary.
+  - The inverse-CDF discriminant b^2 + 2*k*u is clamped at 0 before sqrt.
+    The reference takes sqrt of a possibly (pathologically) negative value
+    and lets NaNs flow into the int cast; clamping yields the CDF endpoint
+    instead, which only differs where the reference is undefined.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from v2ce_toolbox_tpu.events import EventStream, to_recarrays
+
+_INT32_MAX = jnp.iinfo(jnp.int32).max
+
+
+# ---------------------------------------------------------------------------
+# 1. Debt-carrying relocation (reference: scripts/LDATI.py:80-123)
+# ---------------------------------------------------------------------------
+
+def relocate_counts(
+    y: jax.Array,
+    *,
+    bidirectional: bool = False,
+    erase_beginning: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Continuous voxels -> integer counts + fractional tendency.
+
+    Args:
+      y: (N, C, H, W) float voxel values (N = batch*polarity, C = 10 bins).
+    Returns:
+      counts: (N, C-1, H, W) int32 per-voxel event counts.
+      tendency: (N, C-1, H, W) float32 sub-bin offsets (unit: one bin).
+    """
+    n, c, h, w = y.shape
+    y = y.astype(jnp.float32)
+    if erase_beginning:
+        # reference: LDATI.py:86-87
+        y = jnp.where(y < 0.001, jnp.zeros_like(y), y)
+
+    from_left_until = (c - 1) if not bidirectional else (c - 1) // 2
+
+    def fwd_step(debt, yslice):
+        avail = yslice - debt
+        count_f = jnp.ceil(avail - 1e-6)       # reference: LDATI.py:99
+        new_debt = count_f - avail
+        return new_debt, (count_f, new_debt)
+
+    debt0 = jnp.zeros((n, h, w), jnp.float32)
+    fwd_in = jnp.moveaxis(y[:, :from_left_until], 1, 0)
+    final_debt, (fwd_counts, fwd_tendency) = lax.scan(fwd_step, debt0, fwd_in)
+    fwd_counts = jnp.moveaxis(fwd_counts, 0, 1)
+    fwd_tendency = jnp.moveaxis(fwd_tendency, 0, 1)
+
+    if not bidirectional:
+        counts = fwd_counts.astype(jnp.int32)
+        # Fold the final input bin into the last output bin, truncating
+        # toward zero (reference: LDATI.py:106 uses .int()).
+        counts = counts.at[:, -1].add((y[:, -1] - final_debt).astype(jnp.int32))
+        return counts, fwd_tendency
+
+    # --- bidirectional variant (reference: LDATI.py:107-123) -------------
+    # Forward fills bins [0, (C-1)//2); backward fills (C//2, C-2]; the
+    # middle bin C//2 meets both. NOTE: for C=10 the reference leaves bin
+    # index 4 untouched (forward stops at 3, middle is 5) — we reproduce
+    # that behavior exactly.
+    counts = jnp.zeros((n, c - 1, h, w), jnp.int32)
+    tendency = jnp.zeros((n, c - 1, h, w), jnp.float32)
+    counts = counts.at[:, :from_left_until].set(fwd_counts.astype(jnp.int32))
+    tendency = tendency.at[:, :from_left_until].set(fwd_tendency)
+
+    def bwd_step(bless, yslice):
+        tend = bless                            # recorded BEFORE the update
+        y_slice_f = jnp.floor(yslice + bless + 1e-6)
+        new_bless = jnp.clip(yslice - y_slice_f + bless, min=0)
+        return new_bless, (y_slice_f, tend)
+
+    bwd_idx = list(range(c - 2, c // 2, -1))    # e.g. [8, 7, 6] for C=10
+    bwd_in = jnp.stack([y[:, i] for i in bwd_idx], axis=0)
+    bless0 = y[:, c - 1]
+    final_bless, (bwd_counts, bwd_tendency) = lax.scan(bwd_step, bless0, bwd_in)
+    for pos, i in enumerate(bwd_idx):
+        counts = counts.at[:, i].set(bwd_counts[pos].astype(jnp.int32))
+        tendency = tendency.at[:, i].set(bwd_tendency[pos])
+
+    mid = c // 2
+    tendency = tendency.at[:, mid].set(final_bless - final_debt)
+    counts = counts.at[:, mid].set(
+        jnp.ceil(y[:, mid] + final_bless - final_debt).astype(jnp.int32)
+    )
+    return counts, tendency
+
+
+# ---------------------------------------------------------------------------
+# 2. Linear-density slope fit (reference: scripts/LDATI.py:13-51, 176-196)
+# ---------------------------------------------------------------------------
+
+def _pool_counts(y: jax.Array, pooling_type: str, kernel_size: int) -> jax.Array:
+    """Optional spatial pooling before the slope fit
+    (reference: LDATI.py:176-184). y: (N, C, H, W) float."""
+    if pooling_type == "none":
+        return y
+    n, c, h, w = y.shape
+    x = y.reshape(n * c, h, w, 1)
+    if pooling_type == "weighted":
+        kern = jnp.array([[1.0, 2.0, 1.0], [2.0, 4.0, 2.0], [1.0, 2.0, 1.0]]) / 16.0
+        kern = kern[:, :, None, None]
+        out = lax.conv_general_dilated(
+            x, kern, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+    elif pooling_type == "avg":
+        k = kernel_size
+        pad = k // 2
+        # torch AvgPool2d(count_include_pad=True): divide by k*k always.
+        out = lax.reduce_window(
+            x, 0.0, lax.add, (1, k, k, 1), (1, 1, 1, 1),
+            ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+        ) / float(k * k)
+    else:
+        raise ValueError(f"unknown pooling_type {pooling_type!r}")
+    return out.reshape(n, c, h, w)
+
+
+def slope_params(
+    counts_f: jax.Array,
+    fps: float,
+    *,
+    pooling_type: str = "none",
+    pooling_kernel_size: int = 3,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-voxel linear-density parameters (k, b) for additional events.
+
+    The reference's 3-tap least-squares over reflect-padded bins reduces to
+    k_raw[c] = (y[c+1] - y[c-1]) / 2, with k_raw = 0 at both boundary bins
+    (reflection makes the symmetric difference vanish — LDATI.py:25-45).
+    Normalization: k = k_raw / voxel_step^2 / (y + 1e-8); b = 1/voxel_step
+    - voxel_step*k/2 so the density integrates to 1 (LDATI.py:188-190).
+
+    Args:
+      counts_f: (N, C, H, W) float relocated counts (possibly pooled).
+    Returns:
+      (k, b): each (N, C, H, W) float32.
+    """
+    y = _pool_counts(counts_f.astype(jnp.float32), pooling_type, pooling_kernel_size)
+    c = y.shape[1]
+    voxel_step = 1.0 / fps / c  # after relocation C is already bins-1
+    zero = jnp.zeros_like(y[:, :1])
+    k_raw = jnp.concatenate([zero, (y[:, 2:] - y[:, :-2]) * 0.5, zero], axis=1)
+    k = k_raw / (voxel_step ** 2) / (y + 1e-8)
+    b = 1.0 / voxel_step - voxel_step * k / 2.0
+    return k, b
+
+
+def _inverse_cdf_ts(u: jax.Array, k: jax.Array, b: jax.Array,
+                    voxel_step: float) -> jax.Array:
+    """Sample t in [0, voxel_step] from density f(t) = k*t + b given uniform
+    u (reference: LDATI.py:195-196). k == 0 falls back to uniform."""
+    disc = jnp.maximum(b * b + 2.0 * k * u, 0.0)
+    t = (-b + jnp.sqrt(disc)) / jnp.where(k == 0, 1.0, k)
+    return jnp.where(k == 0, u * voxel_step, t)
+
+
+# ---------------------------------------------------------------------------
+# 3. Stream compaction into fixed-capacity buffers
+# ---------------------------------------------------------------------------
+
+def _compact_one_frame(
+    emit_count: jax.Array,     # (V,) int32 — events to emit per voxel
+    chain_ts_us: jax.Array,    # (V,) int32 — deterministic chain timestamp
+    is_chain: jax.Array,       # (V,) bool  — voxel emits the chain event
+    k: jax.Array,              # (V,) float32
+    b: jax.Array,              # (V,) float32
+    bin_start_s: jax.Array,    # (V,) float32 — bin start + t0, seconds
+    key: jax.Array,
+    *,
+    strategy: str,
+    voxel_step: float,
+    max_events_per_voxel: int,
+    max_multi_voxels: int,
+    capacity: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Sort-compact all events of one frame into a capacity-E buffer ordered
+    by timestamp. Returns (t_us, vox_id, count, dropped)."""
+    num_voxels = emit_count.shape[0]
+    vox_ids = lax.broadcasted_iota(jnp.int32, emit_count.shape, 0)
+
+    def additional_us(u):
+        if strategy == "slope":
+            t_add = _inverse_cdf_ts(u, k, b, voxel_step)
+        else:  # 'random' — reference keeps raw U[0,1) seconds
+            t_add = u                          # reference: LDATI.py:173-174
+        return ((t_add + bin_start_s) * 1e6).astype(jnp.int32)
+
+    # --- first event of every emitting voxel -----------------------------
+    if strategy == "none":
+        ts0 = chain_ts_us
+    else:
+        u0 = jax.random.uniform(jax.random.fold_in(key, 0), emit_count.shape)
+        ts0 = jnp.where(is_chain, chain_ts_us, additional_us(u0))
+    keys0 = jnp.where(emit_count > 0, ts0, _INT32_MAX)
+    key_parts = [keys0]
+    id_parts = [vox_ids]
+    emitted = jnp.sum((emit_count > 0).astype(jnp.int32))
+
+    # --- extra events of count>=2 voxels, via top_k compaction -----------
+    if strategy != "none" and max_events_per_voxel > 1:
+        pool = min(max_multi_voxels, num_voxels)
+        extra = jnp.maximum(emit_count - 1, 0)
+        pool_extra, pool_idx = lax.top_k(extra, pool)
+        pool_k = k[pool_idx]
+        pool_b = b[pool_idx]
+        pool_bin = bin_start_s[pool_idx]
+        pool_chain = chain_ts_us[pool_idx]  # unused value; keeps shape logic
+        del pool_chain
+        for j in range(1, max_events_per_voxel):
+            u = jax.random.uniform(jax.random.fold_in(key, j), (pool,))
+            if strategy == "slope":
+                t_add = _inverse_cdf_ts(u, pool_k, pool_b, voxel_step)
+            else:
+                t_add = u
+            ts_j = ((t_add + pool_bin) * 1e6).astype(jnp.int32)
+            key_parts.append(jnp.where(pool_extra >= j, ts_j, _INT32_MAX))
+            id_parts.append(pool_idx.astype(jnp.int32))
+        emitted = emitted + jnp.sum(jnp.minimum(pool_extra,
+                                                max_events_per_voxel - 1))
+
+    all_keys = jnp.concatenate(key_parts)
+    all_ids = jnp.concatenate(id_parts)
+    if all_keys.shape[0] < capacity:                     # tiny inputs
+        pad = capacity - all_keys.shape[0]
+        all_keys = jnp.pad(all_keys, (0, pad), constant_values=_INT32_MAX)
+        all_ids = jnp.pad(all_ids, (0, pad))
+    sorted_keys, sorted_ids = lax.sort((all_keys, all_ids), num_keys=1)
+
+    count = jnp.minimum(emitted, capacity)
+    total = jnp.sum(emit_count)
+    dropped = total - count
+
+    return (
+        lax.dynamic_slice_in_dim(sorted_keys, 0, capacity),
+        lax.dynamic_slice_in_dim(sorted_ids, 0, capacity),
+        count,
+        dropped,
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. Full sampler (reference: scripts/LDATI.py:126-214 + 248-310)
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "fps", "pooling_type", "pooling_kernel_size",
+        "additional_events_strategy", "bidirectional",
+        "max_events_per_voxel", "max_multi_voxels", "capacity",
+    ),
+)
+def sample_events(
+    voxels: jax.Array,
+    key: jax.Array,
+    *,
+    t0: float = 0.0,
+    fps: int = 30,
+    pooling_type: str = "none",
+    pooling_kernel_size: int = 3,
+    additional_events_strategy: str = "slope",
+    bidirectional: bool = False,
+    max_events_per_voxel: int = 16,
+    max_multi_voxels: int = 1 << 16,
+    capacity: int = 1 << 19,
+) -> EventStream:
+    """Sample a timestamped event stream from predicted voxels — the
+    jit-compiled core of the LDATI sampler.
+
+    Args:
+      voxels: (B, P, C, H, W) float voxel grid, P=2 (index 0 = ON),
+        C=10 time bins (the reference layout, scripts/LDATI.py:129).
+      key: PRNG key for the stochastic additional-event timestamps.
+    Returns:
+      EventStream with per-frame (capacity,) buffers, timestamps in int32
+      µs relative to t0, sorted ascending; invalid slots hold INT32_MAX.
+    """
+    assert additional_events_strategy in ("none", "random", "slope")
+    assert pooling_type in ("none", "avg", "weighted")
+    bb, p, c, h, w = voxels.shape
+    n = bb * p
+    y = voxels.reshape(n, c, h, w).astype(jnp.float32)
+
+    frame_step = 1.0 / fps
+    voxel_step = 1.0 / fps / (c - 1)
+
+    counts, tendency = relocate_counts(y, bidirectional=bidirectional)
+    cb = c - 1  # bins after relocation
+
+    # Chain timestamps in µs (reference: LDATI.py:155-165).
+    bin_starts = (jnp.arange(cb, dtype=jnp.float32) * voxel_step + t0)
+    chain_ts = tendency / fps / cb + bin_starts[None, :, None, None]
+    chain_ts_us = (chain_ts * 1e6).astype(jnp.int32)
+
+    if additional_events_strategy == "slope":
+        k, b = slope_params(
+            counts.astype(jnp.float32), fps,
+            pooling_type=pooling_type, pooling_kernel_size=pooling_kernel_size,
+        )
+    else:
+        k = jnp.zeros_like(chain_ts)
+        b = jnp.zeros_like(chain_ts)
+
+    # Per-voxel emit counts. count == 1 voxels emit their chain event;
+    # count >= 2 voxels emit `count` stochastic events (LDATI.py:228-239);
+    # with strategy 'none' only chain events are emitted (LDATI.py:241).
+    if additional_events_strategy == "none":
+        emit = (counts == 1).astype(jnp.int32)
+    else:
+        emit = jnp.where(
+            counts == 1, 1, jnp.minimum(counts, max_events_per_voxel)
+        )
+        emit = jnp.maximum(emit, 0)
+    cap_dropped = jnp.where(
+        counts > max_events_per_voxel, counts - max_events_per_voxel, 0
+    )
+    if additional_events_strategy == "none":
+        cap_dropped = jnp.zeros_like(cap_dropped)
+
+    # Reshape to per-frame flattened voxel order (C, P, H, W): OFF before
+    # ON within a bin to mirror the reference's neg-then-pos concatenation
+    # order (tie-break only; LDATI.py:290-296).
+    def frame_order(a):
+        a = a.reshape(bb, p, cb, h, w)
+        a = jnp.flip(a, axis=1)                  # P: [OFF, ON]
+        a = jnp.swapaxes(a, 1, 2)                # (B, C, P, H, W)
+        return a.reshape(bb, cb * p * h * w)
+
+    emit_f = frame_order(emit)
+    chain_f = frame_order(chain_ts_us)
+    is_chain_f = frame_order((counts == 1).astype(jnp.int32)) > 0
+    k_f = frame_order(k)
+    b_f = frame_order(b)
+    bin_start_f = frame_order(
+        jnp.broadcast_to(bin_starts[None, :, None, None], (n, cb, h, w))
+    )
+    cap_dropped_f = frame_order(cap_dropped).sum(axis=-1)
+
+    keys = jax.random.split(key, bb)
+    compact = functools.partial(
+        _compact_one_frame,
+        strategy=additional_events_strategy,
+        voxel_step=voxel_step,
+        max_events_per_voxel=(
+            max_events_per_voxel if additional_events_strategy != "none" else 1
+        ),
+        max_multi_voxels=max_multi_voxels,
+        capacity=capacity,
+    )
+    t_us, vox_id, count, dropped = jax.vmap(compact)(
+        emit_f, chain_f, is_chain_f, k_f, b_f, bin_start_f, keys
+    )
+
+    # Decode voxel ids (C, P, H, W row-major) -> x, y, polarity.
+    hw = h * w
+    rem = vox_id % (p * hw)
+    p_idx = rem // hw                      # 0 = OFF slot (flipped), 1 = ON
+    yx = rem % hw
+    y_idx = (yx // w).astype(jnp.int16)
+    x_idx = (yx % w).astype(jnp.int16)
+    polarity = p_idx.astype(jnp.int8)      # flipped P: index 1 is ON -> 1
+
+    valid = lax.broadcasted_iota(jnp.int32, t_us.shape, 1) < count[:, None]
+    t_us = jnp.where(valid, t_us, _INT32_MAX)
+
+    return EventStream(
+        t_us=t_us, x=x_idx, y=y_idx, p=polarity,
+        count=count, dropped=dropped + cap_dropped_f,
+    )
+
+
+def sample_voxel_statistical(
+    y,
+    t0: float = 0,
+    fps: int = 30,
+    pooling_type: str = "none",
+    pooling_kernel_size: int = 3,
+    additional_events_strategy: str = "slope",
+    bidirectional: bool = False,
+    key: Optional[jax.Array] = None,
+    max_events_per_voxel: int = 16,
+    max_multi_voxels: int = 1 << 16,
+    capacity: int = 1 << 19,
+):
+    """Drop-in equivalent of the reference entry point
+    (reference: scripts/LDATI.py:126): takes a (B, P, C, H, W) voxel grid,
+    returns a list of B numpy recarrays sorted by timestamp.
+
+    This is the *host-edge* wrapper; pipelines should call `sample_events`
+    and keep the EventStream on device.
+    """
+    if key is None:
+        key = jax.random.key(0)
+    stream = sample_events(
+        jnp.asarray(y),
+        key,
+        t0=float(t0),
+        fps=fps,
+        pooling_type=pooling_type,
+        pooling_kernel_size=pooling_kernel_size,
+        additional_events_strategy=additional_events_strategy,
+        bidirectional=bidirectional,
+        max_events_per_voxel=max_events_per_voxel,
+        max_multi_voxels=max_multi_voxels,
+        capacity=capacity,
+    )
+    return to_recarrays(stream)
