@@ -34,3 +34,19 @@ def add_reference_to_path():
     """Make the read-only torch reference importable for golden tests."""
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
+
+
+def load_reference_module(relpath: str, name: str):
+    """Import a single reference file by path, bypassing package __init__
+    chains that need unavailable deps (pytorch_lightning, torchvision)."""
+    import importlib.util
+
+    if name in sys.modules:
+        return sys.modules[name]
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(REFERENCE_ROOT, relpath)
+    )
+    module = importlib.util.module_from_spec(spec)
+    sys.modules[name] = module
+    spec.loader.exec_module(module)
+    return module
