@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""End-to-end throughput benchmark: video frames -> DVS events, per chip.
+
+Measures the steady-state device pipeline (stage-1 3D-UNet forward on
+16-frame windows + on-device LDATI event sampling) on synthetic 260x346
+input — the reference's README workload geometry (reference: readme.md:23,
+scripts/LDATI.py:329). Host video decode is excluded (it overlaps device
+compute in the real pipeline and is not the TPU's bottleneck).
+
+Prints ONE JSON line:
+  {"metric": "e2e_frames_per_sec_per_chip", "value": N, "unit": "frames/s",
+   "vs_baseline": N / 300.0}
+vs_baseline is against the BASELINE.md north star of >= 10x realtime at
+30 FPS (300 frames/s) per chip; the reference repo publishes no numbers of
+its own (BASELINE.md).
+
+Timing notes: through the axon tunnel `block_until_ready` does not reliably
+block, so we queue N iterations that are data-dependent chained and fetch
+one scalar at the end; RTT is measured separately and subtracted.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from v2ce_toolbox_tpu.config import ModelConfig, SamplerConfig
+    from v2ce_toolbox_tpu.models import V2ce3d
+    from v2ce_toolbox_tpu.ops.ldati import sample_events
+    from v2ce_toolbox_tpu.pipeline.preprocess import normalize_pairs
+    from v2ce_toolbox_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    seq_len, h, w = 16, 260, 346
+    scfg = SamplerConfig()
+    model = V2ce3d(config=ModelConfig())
+    rng = np.random.RandomState(0)
+    frames0 = jnp.asarray(rng.rand(1, seq_len + 1, h, w).astype(np.float32))
+    variables = model.init(jax.random.key(0), frames0[:, :3, :, :, None].repeat(2, -1),
+                           train=False)
+
+    @jax.jit
+    def window_step(frames, key):
+        """One 16-frame window: normalize+pair -> UNet -> LDATI events.
+        Returns (event count, checksum) so successive calls chain."""
+        units = normalize_pairs(frames)
+        voxels = model.apply(variables, units, train=False)  # (1,16,H,W,20)
+        v = jnp.transpose(voxels[0], (0, 3, 1, 2)).reshape(seq_len, 2, 10, h, w)
+        stream = sample_events(
+            v, key,
+            fps=30,
+            additional_events_strategy=scfg.additional_events_strategy,
+            max_events_per_voxel=scfg.max_events_per_voxel,
+            capacity=scfg.event_capacity,
+        )
+        return stream.count.sum()
+
+    key = jax.random.key(0)
+    # Warm-up / compile
+    c = window_step(frames0, key)
+    _ = int(np.asarray(c))
+
+    # RTT estimate (tiny op + host fetch)
+    t0 = time.time()
+    for _ in range(5):
+        np.asarray(jnp.sum(frames0[0, 0, 0, :4]))
+    rtt = (time.time() - t0) / 5
+
+    n_iters = 20
+    t0 = time.time()
+    total = jnp.zeros((), jnp.int32)
+    for i in range(n_iters):
+        # chain via the key so iterations are sequenced
+        total = total + window_step(frames0, jax.random.fold_in(key, i))
+    _ = int(np.asarray(total))
+    elapsed = max(time.time() - t0 - rtt, 1e-9)
+
+    frames_per_sec = n_iters * seq_len / elapsed
+    print(json.dumps({
+        "metric": "e2e_frames_per_sec_per_chip",
+        "value": round(frames_per_sec, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(frames_per_sec / 300.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

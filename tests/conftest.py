@@ -9,9 +9,13 @@ import sys
 os.environ["JAX_PLATFORMS"] = "cpu"  # the session presets axon (TPU)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "collective_call_terminate" not in flags:
+    # virtual devices timeshare the host cores; the default 40 s collective
+    # rendezvous kill-switch fires on slow single-core CI boxes
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=3600")
+os.environ["XLA_FLAGS"] = flags
 
 # sitecustomize may have imported jax already (axon PJRT registration), in
 # which case the env var is too late — override through the config API.

@@ -13,6 +13,22 @@ import os
 _DEFAULT_CACHE_DIR = os.path.expanduser("~/.cache/v2ce_jax_cache")
 
 
+def raise_cpu_collective_timeouts():
+    """Raise XLA:CPU's collective rendezvous kill-switch (default 40 s).
+
+    On a virtual N-device CPU mesh the devices timeshare the host cores, so
+    slower devices legitimately take minutes to reach an all-reduce. Must
+    run before the first XLA compilation in the process.
+    """
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "collective_call_terminate" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags
+            + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+            + " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+        ).strip()
+
+
 def enable_compilation_cache(cache_dir: str = _DEFAULT_CACHE_DIR):
     """Enable JAX's persistent compilation cache (idempotent)."""
     import jax
