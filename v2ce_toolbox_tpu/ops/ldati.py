@@ -213,63 +213,50 @@ def _inverse_cdf_ts(u: jax.Array, k: jax.Array, b: jax.Array,
 # 3. Stream compaction into fixed-capacity buffers
 # ---------------------------------------------------------------------------
 
-def _compact_one_frame(
+def compact_frame_events(
     emit_count: jax.Array,     # (V,) int32 — events to emit per voxel
-    chain_ts_us: jax.Array,    # (V,) int32 — deterministic chain timestamp
-    is_chain: jax.Array,       # (V,) bool  — voxel emits the chain event
-    k: jax.Array,              # (V,) float32
-    b: jax.Array,              # (V,) float32
-    bin_start_s: jax.Array,    # (V,) float32 — bin start + t0, seconds
+    ts_fn,                     # ts_fn(j, u, vox_idx|None) -> (n,) int32 µs
     key: jax.Array,
     *,
-    strategy: str,
-    voxel_step: float,
     max_events_per_voxel: int,
     max_multi_voxels: int,
     capacity: int,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Sort-compact all events of one frame into a capacity-E buffer ordered
-    by timestamp. Returns (t_us, vox_id, count, dropped)."""
+    by timestamp — the TPU replacement for the reference's per-channel
+    boolean-gather/argsort loops (LDATI.py:248-310 and the twin
+    pick_and_sort implementations of the ablation samplers).
+
+    Every voxel contributes its slot-0 event when emit_count > 0; voxels
+    with emit_count >= 2 are compacted via top_k into a max_multi_voxels
+    pool that contributes slots 1..max_events_per_voxel-1. `ts_fn(j, u,
+    vox_idx)` maps slot j and uniform draws u to int32 µs timestamps;
+    vox_idx is None for the full-voxel slot-0 call, else the pool's voxel
+    indices.
+
+    Returns (t_us, vox_id, count, dropped): sorted timestamps, the flat
+    voxel index of each event, the valid count, and how many events were
+    lost to the pool/capacity limits (never silently).
+    """
     num_voxels = emit_count.shape[0]
     vox_ids = lax.broadcasted_iota(jnp.int32, emit_count.shape, 0)
 
-    def additional_us(u):
-        if strategy == "slope":
-            t_add = _inverse_cdf_ts(u, k, b, voxel_step)
-        else:  # 'random' — reference keeps raw U[0,1) seconds
-            t_add = u                          # reference: LDATI.py:173-174
-        return ((t_add + bin_start_s) * 1e6).astype(jnp.int32)
-
-    # --- first event of every emitting voxel -----------------------------
-    if strategy == "none":
-        ts0 = chain_ts_us
-    else:
-        u0 = jax.random.uniform(jax.random.fold_in(key, 0), emit_count.shape)
-        ts0 = jnp.where(is_chain, chain_ts_us, additional_us(u0))
-    keys0 = jnp.where(emit_count > 0, ts0, _INT32_MAX)
+    u0 = jax.random.uniform(jax.random.fold_in(key, 0), emit_count.shape)
+    keys0 = jnp.where(emit_count > 0, ts_fn(0, u0, None), _INT32_MAX)
     key_parts = [keys0]
     id_parts = [vox_ids]
     emitted = jnp.sum((emit_count > 0).astype(jnp.int32))
 
-    # --- extra events of count>=2 voxels, via top_k compaction -----------
-    if strategy != "none" and max_events_per_voxel > 1:
+    if max_events_per_voxel > 1:
         pool = min(max_multi_voxels, num_voxels)
         extra = jnp.maximum(emit_count - 1, 0)
         pool_extra, pool_idx = lax.top_k(extra, pool)
-        pool_k = k[pool_idx]
-        pool_b = b[pool_idx]
-        pool_bin = bin_start_s[pool_idx]
-        pool_chain = chain_ts_us[pool_idx]  # unused value; keeps shape logic
-        del pool_chain
+        pool_idx = pool_idx.astype(jnp.int32)
         for j in range(1, max_events_per_voxel):
             u = jax.random.uniform(jax.random.fold_in(key, j), (pool,))
-            if strategy == "slope":
-                t_add = _inverse_cdf_ts(u, pool_k, pool_b, voxel_step)
-            else:
-                t_add = u
-            ts_j = ((t_add + pool_bin) * 1e6).astype(jnp.int32)
+            ts_j = ts_fn(j, u, pool_idx)
             key_parts.append(jnp.where(pool_extra >= j, ts_j, _INT32_MAX))
-            id_parts.append(pool_idx.astype(jnp.int32))
+            id_parts.append(pool_idx)
         emitted = emitted + jnp.sum(jnp.minimum(pool_extra,
                                                 max_events_per_voxel - 1))
 
@@ -291,6 +278,78 @@ def _compact_one_frame(
         count,
         dropped,
     )
+
+
+def _compact_one_frame(
+    emit_count: jax.Array,
+    chain_ts_us: jax.Array,
+    is_chain: jax.Array,
+    k: jax.Array,
+    b: jax.Array,
+    bin_start_s: jax.Array,
+    key: jax.Array,
+    *,
+    strategy: str,
+    voxel_step: float,
+    max_events_per_voxel: int,
+    max_multi_voxels: int,
+    capacity: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """LDATI-specific slot->timestamp rule on top of compact_frame_events:
+    slot 0 is the chain timestamp for count==1 voxels and a stochastic draw
+    otherwise; slots >= 1 are stochastic (reference: LDATI.py:228-245)."""
+
+    def additional_us(u, kk, bb, bins):
+        if strategy == "slope":
+            t_add = _inverse_cdf_ts(u, kk, bb, voxel_step)
+        else:  # 'random' — reference keeps raw U[0,1) seconds
+            t_add = u                          # reference: LDATI.py:173-174
+        return ((t_add + bins) * 1e6).astype(jnp.int32)
+
+    def ts_fn(j, u, vox_idx):
+        if strategy == "none":
+            return chain_ts_us if vox_idx is None else chain_ts_us[vox_idx]
+        if vox_idx is None:
+            return jnp.where(is_chain, chain_ts_us,
+                             additional_us(u, k, b, bin_start_s))
+        return additional_us(u, k[vox_idx], b[vox_idx], bin_start_s[vox_idx])
+
+    return compact_frame_events(
+        emit_count, ts_fn, key,
+        max_events_per_voxel=(1 if strategy == "none"
+                              else max_events_per_voxel),
+        max_multi_voxels=max_multi_voxels,
+        capacity=capacity,
+    )
+
+
+def frame_order_voxels(a: jax.Array, bb: int, p: int, cb: int, h: int,
+                       w: int) -> jax.Array:
+    """(B*P, C, H, W)-shaped per-voxel data -> per-frame flattened voxel
+    order (C, P_flipped, H, W): OFF before ON within a bin, mirroring the
+    reference's neg-then-pos concatenation (tie-break only;
+    LDATI.py:290-296)."""
+    a = a.reshape(bb, p, cb, h, w)
+    a = jnp.flip(a, axis=1)                  # P: [OFF, ON]
+    a = jnp.swapaxes(a, 1, 2)                # (B, C, P, H, W)
+    return a.reshape(bb, cb * p * h * w)
+
+
+def decode_event_stream(t_us, vox_id, count, dropped, p, h, w) -> EventStream:
+    """Decode flat (C, P_flipped, H, W) voxel ids back to (x, y, polarity)
+    and mask invalid slots."""
+    hw = h * w
+    rem = vox_id % (p * hw)
+    p_idx = rem // hw                      # 0 = OFF slot (flipped), 1 = ON
+    yx = rem % hw
+    y_idx = (yx // w).astype(jnp.int16)
+    x_idx = (yx % w).astype(jnp.int16)
+    polarity = p_idx.astype(jnp.int8)      # flipped P: index 1 is ON -> 1
+
+    valid = lax.broadcasted_iota(jnp.int32, t_us.shape, 1) < count[:, None]
+    t_us = jnp.where(valid, t_us, _INT32_MAX)
+    return EventStream(t_us=t_us, x=x_idx, y=y_idx, p=polarity,
+                       count=count, dropped=dropped)
 
 
 # ---------------------------------------------------------------------------
@@ -372,14 +431,8 @@ def sample_events(
     if additional_events_strategy == "none":
         cap_dropped = jnp.zeros_like(cap_dropped)
 
-    # Reshape to per-frame flattened voxel order (C, P, H, W): OFF before
-    # ON within a bin to mirror the reference's neg-then-pos concatenation
-    # order (tie-break only; LDATI.py:290-296).
     def frame_order(a):
-        a = a.reshape(bb, p, cb, h, w)
-        a = jnp.flip(a, axis=1)                  # P: [OFF, ON]
-        a = jnp.swapaxes(a, 1, 2)                # (B, C, P, H, W)
-        return a.reshape(bb, cb * p * h * w)
+        return frame_order_voxels(a, bb, p, cb, h, w)
 
     emit_f = frame_order(emit)
     chain_f = frame_order(chain_ts_us)
@@ -405,23 +458,8 @@ def sample_events(
     t_us, vox_id, count, dropped = jax.vmap(compact)(
         emit_f, chain_f, is_chain_f, k_f, b_f, bin_start_f, keys
     )
-
-    # Decode voxel ids (C, P, H, W row-major) -> x, y, polarity.
-    hw = h * w
-    rem = vox_id % (p * hw)
-    p_idx = rem // hw                      # 0 = OFF slot (flipped), 1 = ON
-    yx = rem % hw
-    y_idx = (yx // w).astype(jnp.int16)
-    x_idx = (yx % w).astype(jnp.int16)
-    polarity = p_idx.astype(jnp.int8)      # flipped P: index 1 is ON -> 1
-
-    valid = lax.broadcasted_iota(jnp.int32, t_us.shape, 1) < count[:, None]
-    t_us = jnp.where(valid, t_us, _INT32_MAX)
-
-    return EventStream(
-        t_us=t_us, x=x_idx, y=y_idx, p=polarity,
-        count=count, dropped=dropped + cap_dropped_f,
-    )
+    return decode_event_stream(t_us, vox_id, count, dropped + cap_dropped_f,
+                               p, h, w)
 
 
 def sample_voxel_statistical(
