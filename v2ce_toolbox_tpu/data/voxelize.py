@@ -103,6 +103,75 @@ def gen_discretized_event_volume(
     return flat.reshape(vol_size)
 
 
+def structured_events_to_voxel_grid(
+    events: np.ndarray, num_bins: int, width: int, height: int
+) -> np.ndarray:
+    """Polarity-stacked (2, num_bins, H, W) bilinear voxel grid where the
+    two leading channels hold the floor/ceil splat halves
+    (reference: events_utils.py:215-260)."""
+    voxel = np.zeros((2, num_bins, height, width), np.float32)
+    if len(events) == 0:
+        return voxel
+    first, last = events[0]["timestamp"], events[-1]["timestamp"]
+    delta = max(last - first, 1.0)
+    ts = (num_bins - 1) * (events["timestamp"] - first) / delta
+    xs = events["x"].astype(int)
+    ys = events["y"].astype(int)
+    pols = np.where(events["polarity"] == 0, -1,
+                    events["polarity"]).astype(np.float32)
+    tis = ts.astype(int)
+    dts = ts - tis
+    ok = tis < num_bins
+    np.add.at(voxel[0].ravel(),
+              xs[ok] + ys[ok] * width + tis[ok] * width * height,
+              (pols * (1.0 - dts))[ok])
+    ok = (tis + 1) < num_bins
+    np.add.at(voxel[1].ravel(),
+              xs[ok] + ys[ok] * width + (tis[ok] + 1) * width * height,
+              (pols * dts)[ok])
+    return voxel
+
+
+def structured_events_to_voxel_stat(
+    events: np.ndarray, num_bins: int, width: int, height: int
+):
+    """Per-voxel count / mean / std of in-bin timestamp offsets
+    (reference: events_utils.py:333-358)."""
+    delta_t = int(np.ceil(
+        (events["timestamp"][-1] - events["timestamp"][0]) / num_bins))
+    delta_t = max(delta_t, 1)
+    ts = events["timestamp"] - events["timestamp"][0]
+    tbs = np.minimum(ts // delta_t, num_bins - 1)
+    trs = (ts % delta_t).astype(np.float64)
+    ps = np.where(events["polarity"] == -1, 0, events["polarity"]).astype(int)
+    xs, ys = events["x"].astype(int), events["y"].astype(int)
+
+    shape = (2, num_bins, height, width)
+    count = np.zeros(shape)
+    s = np.zeros(shape)
+    s2 = np.zeros(shape)
+    np.add.at(count, (ps, tbs, ys, xs), 1)
+    np.add.at(s, (ps, tbs, ys, xs), trs)
+    np.add.at(s2, (ps, tbs, ys, xs), trs ** 2)
+    mean = s / np.maximum(count, 1)
+    var = (s2 - (s ** 2) / np.maximum(count, 1)) / np.maximum(count - 1, 1)
+    return count, mean, np.sqrt(np.maximum(var, 0))
+
+
+def accumulate_frame(
+    events: np.ndarray, width: int, height: int, clip: int = 2
+) -> np.ndarray:
+    """DHP19-style signed accumulation frame, clipped
+    (reference: events_utils.py:380-417, simplified to its used core)."""
+    frame = np.zeros((height, width), np.float64)
+    if len(events):
+        pols = np.where(events["polarity"] == 0, -1,
+                        events["polarity"]).astype(np.float64)
+        np.add.at(frame, (events["y"].astype(int), events["x"].astype(int)),
+                  pols)
+    return np.clip(frame, -clip, clip)
+
+
 def events_to_voxel_grid_np(
     events: np.ndarray, num_bins: int, width: int, height: int
 ) -> np.ndarray:
