@@ -149,3 +149,52 @@ def test_mvsec_converter_roundtrip(tmp_path):
     item = ds[0]
     assert item["image_units"].shape == (16, h, w, 2)
     assert item["voxels"].shape == (16, h, w, 20)
+
+
+def test_image_gradient_matches_scipy():
+    """Sobel magnitude matches a scipy transcription of the reference
+    (image_derivative.py:59-77, zero-padded conv)."""
+    from scipy.signal import convolve2d
+
+    import jax.numpy as jnp
+
+    from v2ce_toolbox_tpu.utils.image_derivative import batch_img_gradient
+
+    rng = np.random.RandomState(0)
+    img = rng.rand(12, 14).astype(np.float32)
+    sx = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], np.float32)
+    # torch F.conv2d is cross-correlation with zero padding
+    gx = convolve2d(img, sx[::-1, ::-1], mode="same")
+    gy = convolve2d(img, sx.T[::-1, ::-1], mode="same")
+    ref = np.sqrt(gx ** 2 + gy ** 2)
+    ours = np.asarray(batch_img_gradient(
+        jnp.asarray(img)[None, :, :, None]))[0, :, :, 0]
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_double_blurred_gradient_shape():
+    import jax.numpy as jnp
+
+    from v2ce_toolbox_tpu.utils.image_derivative import (
+        get_batch_double_blurred_image_gradient,
+    )
+
+    rng = np.random.RandomState(1)
+    a = jnp.asarray(rng.rand(2, 16, 18, 1).astype(np.float32))
+    b = jnp.asarray(rng.rand(2, 16, 18, 1).astype(np.float32))
+    g = get_batch_double_blurred_image_gradient(a, b)
+    assert g.shape == (2, 16, 18, 1)
+    assert np.all(np.asarray(g) >= 0)
+
+
+def test_resnet_discriminator_logits():
+    import jax
+    import jax.numpy as jnp
+
+    from v2ce_toolbox_tpu.models.resnet import ResNetDiscriminator
+
+    disc = ResNetDiscriminator()
+    x = jnp.zeros((2, 64, 80, 20))
+    variables = disc.init(jax.random.key(0), x)
+    out = disc.apply(variables, x, train=False)
+    assert out.shape == (2, 2)
