@@ -53,6 +53,8 @@ from __future__ import annotations
 import functools
 from typing import Optional, Tuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -280,6 +282,200 @@ def compact_frame_events(
     )
 
 
+def compact_dispatch(
+    emit_count: jax.Array,
+    ts_fn,
+    key: jax.Array,
+    *,
+    bin_start_us: jax.Array,   # (cb,) int32
+    cb: int,
+    seg: int,
+    max_rel_us: int,
+    max_events_per_voxel: int,
+    max_multi_voxels: int,
+    capacity: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Pick the binned packed-key compaction when the sub-bin timestamp and
+    within-bin voxel id fit one int32 key; otherwise the flat kv path."""
+    vox_bits = max(int(np.ceil(np.log2(max(seg, 2)))), 1)
+    ts_bits = max(int(np.ceil(np.log2(max_rel_us + 3))), 1)
+    if ts_bits + vox_bits <= 31:
+        return compact_frame_events_binned(
+            emit_count, ts_fn, bin_start_us, key,
+            cb=cb, seg=seg, ts_bits=ts_bits,
+            max_events_per_voxel=max_events_per_voxel,
+            capacity=capacity,
+            pool_bin=min(max(max_multi_voxels // cb, 128), 8192),
+        )
+    return compact_frame_events(
+        emit_count, ts_fn, key,
+        max_events_per_voxel=max_events_per_voxel,
+        max_multi_voxels=max_multi_voxels, capacity=capacity)
+
+
+def _batched_searchsorted_right(offsets: jax.Array, q: jax.Array) -> jax.Array:
+    """Row-wise searchsorted(offsets[r], q[r], side='right') - 1."""
+    return jax.vmap(lambda o, qq: jnp.searchsorted(o, qq, side="right") - 1)(
+        offsets, q)
+
+
+def compact_frame_events_binned(
+    emit_count: jax.Array,      # (V,) int32, bin-major (cb, seg) layout
+    ts_fn,                      # ts_fn(j, u, vox_idx|None) -> abs int32 µs
+    bin_start_us: jax.Array,    # (cb,) int32 bin starts incl t0
+    key: jax.Array,
+    *,
+    cb: int,
+    seg: int,
+    ts_bits: int,
+    max_events_per_voxel: int,
+    capacity: int,
+    tile: int = 2048,
+    cap_bin: Optional[int] = None,
+    pool_bin: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Two-level sort compaction with per-bin packed int32 keys.
+
+    The flat global sort of compact_frame_events is O(V log^2 V) with a
+    (key, payload) pair; here the per-bin sub-bin timestamp (ts_bits) and
+    the within-bin voxel id pack into ONE int32 key, and the sort happens
+    at three small scales instead of one big one:
+
+      1. tile sort: (cb * seg/tile, tile) batched sorts — short segments,
+         single key, cheapest way to push invalid slots to tile tails;
+      2. gather-compaction of tiles into a (cb, cap_bin) buffer using
+         exclusive tile-count cumsums + take_along_axis (no scatter);
+      3. a small per-bin sort of the compacted buffer (+ appended
+         multi-voxel extras) yields bin-sorted rows, whose concatenation
+         is globally time-sorted; a final gather-merge emits the
+         (capacity,) stream.
+
+    The multi-voxel pool is selected by re-sorting the compacted buffer
+    with an "is-multi" key — no O(V) top_k.
+
+    Requires ts_bits + ceil(log2(seg)) <= 31 (callers fall back to
+    compact_frame_events otherwise, e.g. LDATI's 'random' strategy whose
+    raw-seconds timestamps span the whole frame: LDATI.py:173-174).
+
+    Returns (packed-decoded t_us, vox_id, count, dropped) like
+    compact_frame_events.
+    """
+    vox_bits = max(int(np.ceil(np.log2(max(seg, 2)))), 1)
+    assert ts_bits + vox_bits <= 31, (ts_bits, vox_bits)
+    ts_cap = (1 << ts_bits) - 2
+    if cap_bin is None:
+        cap_bin = min(_round_up(max(capacity // cb, 1024), 128),
+                      _round_up(seg, tile))
+    if pool_bin is None:
+        pool_bin = 4096
+    pool_bin = min(pool_bin, cap_bin)
+
+    n_tiles = -(-seg // tile)
+    seg_pad = n_tiles * tile
+    vox_in_seg = lax.broadcasted_iota(jnp.int32, (cb, seg), 1)
+    bin_of = lax.broadcasted_iota(jnp.int32, (cb, seg), 0)
+
+    emit2 = emit_count.reshape(cb, seg)
+    starts = bin_start_us[:, None]
+
+    def pack(abs_ts_us, valid):
+        rel = jnp.clip(abs_ts_us.reshape(cb, seg) - starts, 0, ts_cap)
+        packed = (rel << vox_bits) | vox_in_seg
+        return jnp.where(valid, packed, _INT32_MAX)
+
+    # 1. first-event candidates, tile-sorted
+    u0 = jax.random.uniform(jax.random.fold_in(key, 0), (cb * seg,))
+    keys0 = pack(ts_fn(0, u0, None), emit2 > 0)
+    keys0 = jnp.pad(keys0, ((0, 0), (0, seg_pad - seg)),
+                    constant_values=_INT32_MAX)
+    tiles = lax.sort(keys0.reshape(cb * n_tiles, tile), dimension=1)
+
+    # 2. gather-compact tiles into (cb, cap_bin)
+    tile_counts = jnp.sum(tiles < _INT32_MAX, axis=1,
+                          dtype=jnp.int32).reshape(cb, n_tiles)
+    bin_total = tile_counts.sum(axis=1)                     # (cb,)
+    tile_off = jnp.cumsum(tile_counts, axis=1) - tile_counts
+    q = lax.broadcasted_iota(jnp.int32, (cb, cap_bin), 1)
+    r = jnp.maximum(_batched_searchsorted_right(tile_off, q), 0)
+    idx = q - jnp.take_along_axis(tile_off, r, axis=1)
+    flat_idx = jnp.clip(r * tile + idx, 0, seg_pad - 1)
+    compacted = jnp.take_along_axis(
+        tiles.reshape(cb, seg_pad), flat_idx, axis=1)
+    compacted = jnp.where(q < bin_total[:, None], compacted, _INT32_MAX)
+
+    emitted = jnp.minimum(bin_total, cap_bin).sum()
+
+    rows = [compacted]
+    if max_events_per_voxel > 1:
+        # slot emit counts for the compacted events
+        slot_vox = (compacted & ((1 << vox_bits) - 1)) + \
+            lax.broadcasted_iota(jnp.int32, (cb, cap_bin), 0) * seg
+        slot_vox = jnp.clip(slot_vox, 0, cb * seg - 1)
+        slot_emit = jnp.where(
+            compacted < _INT32_MAX,
+            emit_count[slot_vox.reshape(-1)].reshape(cb, cap_bin), 0)
+
+        # 3. multi-voxel pool: re-sort by is-multi (keeps ts order)
+        multi_keys = jnp.where(slot_emit >= 2, compacted, _INT32_MAX)
+        pool = lax.sort(multi_keys, dimension=1)[:, :pool_bin]
+        pool_valid = pool < _INT32_MAX
+        pool_vox_local = pool & ((1 << vox_bits) - 1)
+        pool_vox = jnp.clip(
+            pool_vox_local +
+            lax.broadcasted_iota(jnp.int32, (cb, pool_bin), 0) * seg,
+            0, cb * seg - 1)
+        pool_emit = jnp.where(pool_valid,
+                              emit_count[pool_vox.reshape(-1)]
+                              .reshape(cb, pool_bin), 0)
+        # events not covered because the multi pool overflowed
+        n_multi = jnp.sum(slot_emit >= 2, axis=1)
+        covered = jnp.minimum(n_multi, pool_bin)
+        # crude but conservative: every uncovered multi voxel loses its
+        # extra events (they are counted in `dropped` via total - emitted)
+
+        for j in range(1, max_events_per_voxel):
+            u = jax.random.uniform(jax.random.fold_in(key, j),
+                                   (cb * pool_bin,))
+            ts_j = ts_fn(j, u, pool_vox.reshape(-1)).reshape(cb, pool_bin)
+            rel = jnp.clip(ts_j - starts, 0, ts_cap)
+            packed_j = (rel << vox_bits) | pool_vox_local
+            rows.append(jnp.where(pool_valid & (pool_emit > j),
+                                  packed_j, _INT32_MAX))
+            emitted = emitted + jnp.sum(
+                pool_valid & (pool_emit > j), dtype=jnp.int32)
+
+    # 4. per-bin final sort; concatenated bins are globally time-sorted
+    rows = jnp.concatenate(rows, axis=1)
+    rows = lax.sort(rows, dimension=1)
+    row_len = rows.shape[1]
+    row_counts = jnp.sum(rows < _INT32_MAX, axis=1, dtype=jnp.int32)
+
+    # 5. gather-merge into the (capacity,) output
+    off = jnp.cumsum(row_counts) - row_counts
+    qq = lax.broadcasted_iota(jnp.int32, (capacity,), 0)
+    rb = jnp.maximum(
+        jnp.searchsorted(off, qq, side="right").astype(jnp.int32) - 1, 0)
+    pos = qq - off[rb]
+    flat = jnp.clip(rb * row_len + pos, 0, cb * row_len - 1)
+    out = rows.reshape(-1)[flat]
+    count = jnp.minimum(emitted, capacity)
+    valid_out = qq < count
+    out = jnp.where(valid_out, out, _INT32_MAX)
+
+    t_us = jnp.where(valid_out, (out >> vox_bits) + bin_start_us[rb],
+                     _INT32_MAX)
+    vox_id = jnp.where(valid_out,
+                       (out & ((1 << vox_bits) - 1)) + rb * seg, 0)
+
+    total = jnp.sum(emit_count)
+    dropped = total - count
+    return t_us, vox_id, count, dropped
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
 def _compact_one_frame(
     emit_count: jax.Array,
     chain_ts_us: jax.Array,
@@ -287,16 +483,19 @@ def _compact_one_frame(
     k: jax.Array,
     b: jax.Array,
     bin_start_s: jax.Array,
+    bin_start_us: jax.Array,   # (cb,) int32
     key: jax.Array,
     *,
     strategy: str,
     voxel_step: float,
+    cb: int,
+    seg: int,
     max_events_per_voxel: int,
     max_multi_voxels: int,
     capacity: int,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """LDATI-specific slot->timestamp rule on top of compact_frame_events:
-    slot 0 is the chain timestamp for count==1 voxels and a stochastic draw
+    """LDATI-specific slot->timestamp rule on top of the compaction: slot 0
+    is the chain timestamp for count==1 voxels and a stochastic draw
     otherwise; slots >= 1 are stochastic (reference: LDATI.py:228-245)."""
 
     def additional_us(u, kk, bb, bins):
@@ -314,8 +513,13 @@ def _compact_one_frame(
                              additional_us(u, k, b, bin_start_s))
         return additional_us(u, k[vox_idx], b[vox_idx], bin_start_s[vox_idx])
 
-    return compact_frame_events(
+    # 'random' draws raw U[0,1) *seconds*, spanning the whole frame -> the
+    # sub-bin packing is infeasible; compact_dispatch falls back.
+    max_rel_us = (int(1e6) if strategy == "random"
+                  else int(voxel_step * 1e6) + 2)
+    return compact_dispatch(
         emit_count, ts_fn, key,
+        bin_start_us=bin_start_us, cb=cb, seg=seg, max_rel_us=max_rel_us,
         max_events_per_voxel=(1 if strategy == "none"
                               else max_events_per_voxel),
         max_multi_voxels=max_multi_voxels,
@@ -444,20 +648,25 @@ def sample_events(
     )
     cap_dropped_f = frame_order(cap_dropped).sum(axis=-1)
 
+    bin_start_us_i = (bin_starts * 1e6).astype(jnp.int32)   # (cb,)
+
     keys = jax.random.split(key, bb)
     compact = functools.partial(
         _compact_one_frame,
         strategy=additional_events_strategy,
         voxel_step=voxel_step,
+        cb=cb,
+        seg=p * h * w,
         max_events_per_voxel=(
             max_events_per_voxel if additional_events_strategy != "none" else 1
         ),
         max_multi_voxels=max_multi_voxels,
         capacity=capacity,
     )
-    t_us, vox_id, count, dropped = jax.vmap(compact)(
-        emit_f, chain_f, is_chain_f, k_f, b_f, bin_start_f, keys
-    )
+    t_us, vox_id, count, dropped = jax.vmap(
+        compact, in_axes=(0, 0, 0, 0, 0, 0, None, 0)
+    )(emit_f, chain_f, is_chain_f, k_f, b_f, bin_start_f, bin_start_us_i,
+      keys)
     return decode_event_stream(t_us, vox_id, count, dropped + cap_dropped_f,
                                p, h, w)
 

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from v2ce_toolbox_tpu.events import EventStream, to_recarrays
 from v2ce_toolbox_tpu.ops.ldati import (
     _inverse_cdf_ts,
-    compact_frame_events,
+    compact_dispatch,
     decode_event_stream,
     frame_order_voxels,
     slope_params,
@@ -92,16 +92,21 @@ def sample_events_baseline(
 
         return ts_fn
 
-    def compact(emit_v, n_int_v, bins_v, k_):
-        return compact_frame_events(
+    bin_start_us_i = (bin_starts * 1e6).astype(jnp.int32)
+
+    def compact(emit_v, n_int_v, bins_v, bus, k_):
+        return compact_dispatch(
             emit_v, ts_fn_for(n_int_v, bins_v), k_,
+            bin_start_us=bus, cb=c, seg=p * h * w,
+            max_rel_us=int(delta * 1e6) + 2,
             max_events_per_voxel=max_events_per_voxel,
             max_multi_voxels=max_multi_voxels, capacity=capacity,
         )
 
     keys = jax.random.split(key, bb)
-    t_us, vox_id, count, dropped = jax.vmap(compact)(
-        emit_f, n_int_f, bins_f, keys)
+    t_us, vox_id, count, dropped = jax.vmap(
+        compact, in_axes=(0, 0, 0, None, 0))(
+        emit_f, n_int_f, bins_f, bin_start_us_i, keys)
     cap_drop = fo(jnp.maximum(emit - max_events_per_voxel, 0)).sum(axis=-1)
     return decode_event_stream(t_us, vox_id, count, dropped + cap_drop,
                                p, h, w)
@@ -164,16 +169,21 @@ def sample_events_pure_slope(
 
         return ts_fn
 
-    def compact(emit_v, kv, bv, binsv, k_):
-        return compact_frame_events(
+    bin_start_us_i = (bin_starts * 1e6).astype(jnp.int32)
+
+    def compact(emit_v, kv, bv, binsv, bus, k_):
+        return compact_dispatch(
             emit_v, ts_fn_for(kv, bv, binsv), k_,
+            bin_start_us=bus, cb=c, seg=p * h * w,
+            max_rel_us=int(delta * 1e6) + 2,
             max_events_per_voxel=max_events_per_voxel,
             max_multi_voxels=max_multi_voxels, capacity=capacity,
         )
 
     keys = jax.random.split(key, bb)
-    t_us, vox_id, count, dropped = jax.vmap(compact)(
-        emit_f, k_f, b_f, bins_f, keys)
+    t_us, vox_id, count, dropped = jax.vmap(
+        compact, in_axes=(0, 0, 0, 0, None, 0))(
+        emit_f, k_f, b_f, bins_f, bin_start_us_i, keys)
     cap_drop = fo(jnp.maximum(emit - max_events_per_voxel, 0)).sum(axis=-1)
     return decode_event_stream(t_us, vox_id, count, dropped + cap_drop,
                                p, h, w)
