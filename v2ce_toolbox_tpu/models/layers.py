@@ -266,10 +266,26 @@ def upsample_nearest_to(x: jax.Array, target_hw: Tuple[int, int]) -> jax.Array:
     """Nearest-neighbor upsample of (B, L, H, W, C) to a target (H, W) using
     torch's F.interpolate index convention src = floor(dst * in / out)
     (reference: scripts/unet_2layer.py:358-362). jax.image.resize uses
-    pixel-center sampling which differs for odd sizes like 260/346, so we
-    gather with explicit indices instead."""
+    pixel-center sampling which differs for odd sizes like 260/346.
+
+    UNet decoder targets are always 2*in or 2*in - 1 (skip sizes come from
+    repeated ceil-halving); for those, floor(dst*in/out) == floor(dst/2)
+    for every dst in range, so the upsample is an exact repeat-2 broadcast
+    truncated to the target — a pure relayout XLA fuses, instead of a
+    gather (13x slower on TPU at these activation sizes). Other ratios
+    fall back to the explicit-index gather."""
     th, tw = target_hw
-    h, w = x.shape[2], x.shape[3]
+    b, l, h, w, c = x.shape
+
+    def axis_fast(size, target):
+        return target in (2 * size, 2 * size - 1)
+
+    if axis_fast(h, th) and axis_fast(w, tw):
+        y = jnp.broadcast_to(x[:, :, :, None, :, None, :],
+                             (b, l, h, 2, w, 2, c))
+        y = y.reshape(b, l, 2 * h, 2 * w, c)
+        return y[:, :, :th, :tw]
+
     hi = (jnp.arange(th) * h) // th
     wi = (jnp.arange(tw) * w) // tw
     return x[:, :, hi][:, :, :, wi]

@@ -88,8 +88,14 @@ class ConvLayer2D(nn.Module):
 
 
 def _upsample2d_nearest_to(x: jax.Array, target_hw) -> jax.Array:
+    """(B, H, W, C) nearest upsample, torch floor(dst*in/out) convention;
+    2x / 2x-1 targets use the repeat-broadcast fast path (see the 3D twin
+    in layers.upsample_nearest_to)."""
     th, tw = target_hw
-    h, w = x.shape[1], x.shape[2]
+    b, h, w, c = x.shape
+    if th in (2 * h, 2 * h - 1) and tw in (2 * w, 2 * w - 1):
+        y = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+        return y.reshape(b, 2 * h, 2 * w, c)[:, :th, :tw]
     hi = (jnp.arange(th) * h) // th
     wi = (jnp.arange(tw) * w) // tw
     return x[:, hi][:, :, wi]
