@@ -42,6 +42,7 @@ def test_train_main_smoke(tmp_path):
         "--devices", "1",   # multi-device path is covered by the dryrun test
         "--loss", "pyramid", "ef",
         "--gan_k", "1",
+        "--record_predictions", "1",
     ])
     lines = [json.loads(line) for line in
              open(tmp_path / "logs" / "smoke" / "metrics.jsonl")]
@@ -52,3 +53,13 @@ def test_train_main_smoke(tmp_path):
     assert "BinaryMatchF1_sum_c" in eval_lines[0]
     # checkpoints written
     assert (tmp_path / "logs" / "smoke" / "checkpoints" / "last").exists()
+    # recorder dump written (stage-2 eval input)
+    rec_dir = tmp_path / "logs" / "smoke" / "recorder"
+    import os
+
+    recs = os.listdir(rec_dir)
+    assert recs
+    import pickle
+
+    rec = pickle.load(open(rec_dir / recs[0], "rb"))
+    assert rec["pred_voxels"].shape == rec["gt_voxels"].shape

@@ -36,6 +36,12 @@ def main():
                          "correction (stage2_metrics.py:112-116)")
     ap.add_argument("--samplers", nargs="*",
                     default=["ldati", "random", "even", "slope"])
+    ap.add_argument("--recorder_dir", default=None,
+                    help="evaluate on MODEL-predicted voxels dumped by "
+                         "train_main --record_predictions (matched to the "
+                         "val split of --data_dir by deterministic order), "
+                         "like the reference's recorder-pkl flow "
+                         "(stage2_metrics.py:91-201)")
     ap.add_argument("-o", "--out_csv", default=None)
     args = ap.parse_args()
 
@@ -47,32 +53,62 @@ def main():
 
     enable_compilation_cache()
 
-    files = sorted(f for f in os.listdir(args.data_dir) if f.endswith(".pkl"))
-    files = files[: args.max_files]
     agg = {name: np.zeros(3) for name in args.samplers}
     n = 0
-    for fname in files:
-        with open(op.join(args.data_dir, fname), "rb") as f:
-            packet = pickle.load(f)
-        if args.fix_10x_timestamps:
-            for ev in packet["events"]:
-                ev["timestamp"] = ev["timestamp"] // 10
-        h, w = packet["images"].shape[1:]
-        for i, ev in enumerate(packet["events"][: args.max_frames_per_file]):
-            vol = gen_discretized_event_volume_np(ev, (20, h, w))
-            voxel = vol.reshape(2, 10, h, w)
-            ev = ev.copy()
-            # metric works in frame-local time
-            ev["timestamp"] -= ev["timestamp"].min() if len(ev) else 0
-            scores = evaluate_samplers_on_frame(
-                ev, voxel, samplers=args.samplers, fps=args.fps,
-                search_range=args.search_range,
-                key=jax.random.key(n),
-            )
-            for name, (d, o, r) in scores.items():
-                agg[name] += np.array([d, o, r])
-            n += 1
-        print(f"{fname}: {n} frames scored", flush=True)
+
+    def score_frame(ev, voxel):
+        nonlocal n
+        ev = ev.copy()
+        # metric works in frame-local time
+        ev["timestamp"] -= ev["timestamp"].min() if len(ev) else 0
+        scores = evaluate_samplers_on_frame(
+            ev, voxel, samplers=args.samplers, fps=args.fps,
+            search_range=args.search_range, key=jax.random.key(n))
+        for name, (d, o, r) in scores.items():
+            agg[name] += np.array([d, o, r])
+        n += 1
+
+    if args.recorder_dir:
+        # Pair recorder dumps with val packets by deterministic split order.
+        from v2ce_toolbox_tpu.data.event_pack_dataset import split_paths
+
+        val_paths = split_paths(args.data_dir)["val"]
+        recs = sorted(f for f in os.listdir(args.recorder_dir)
+                      if f.endswith(".pkl"))[: args.max_files]
+        path_idx = 0
+        for rname in recs:
+            with open(op.join(args.recorder_dir, rname), "rb") as f:
+                rec = pickle.load(f)
+            pred = rec["pred_voxels"]              # (B, L, H, W, 20)
+            for b in range(pred.shape[0]):
+                if path_idx >= len(val_paths):
+                    break
+                with open(val_paths[path_idx], "rb") as f:
+                    packet = pickle.load(f)
+                path_idx += 1
+                if args.fix_10x_timestamps:
+                    for ev in packet["events"]:
+                        ev["timestamp"] = ev["timestamp"] // 10
+                for i in range(min(pred.shape[1], len(packet["events"]),
+                                   args.max_frames_per_file)):
+                    v = np.moveaxis(pred[b, i], -1, 0).reshape(
+                        2, 10, *pred.shape[2:4])
+                    score_frame(packet["events"][i], v)
+            print(f"{rname}: {n} frames scored", flush=True)
+    else:
+        files = sorted(f for f in os.listdir(args.data_dir)
+                       if f.endswith(".pkl"))[: args.max_files]
+        for fname in files:
+            with open(op.join(args.data_dir, fname), "rb") as f:
+                packet = pickle.load(f)
+            if args.fix_10x_timestamps:
+                for ev in packet["events"]:
+                    ev["timestamp"] = ev["timestamp"] // 10
+            h, w = packet["images"].shape[1:]
+            for ev in packet["events"][: args.max_frames_per_file]:
+                vol = gen_discretized_event_volume_np(ev, (20, h, w))
+                score_frame(ev, vol.reshape(2, 10, h, w))
+            print(f"{fname}: {n} frames scored", flush=True)
 
     rows = ["sampler,avg_error_us,overflow,pred_gt_ratio"]
     for name in args.samplers:

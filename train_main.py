@@ -78,6 +78,11 @@ def build_parser():
     g.add_argument("--random_flip", type=SBool, default=False, nargs="?", const=True)
     g.add_argument("--max_steps_per_epoch", default=0, type=int,
                    help="truncate epochs (0 = full epoch); smoke-test hook")
+    g.add_argument("--record_predictions", default=0, type=int,
+                   help="dump this many val batches (pred + GT voxels) to "
+                        "<workdir>/recorder each eval — feeds the stage-2 "
+                        "eval harness (reference: RecorderCallback, "
+                        "train/scripts/utils/callbacks.py:165-227)")
     return p
 
 
@@ -157,6 +162,10 @@ def main(argv=None):
     best_f1 = -1.0
     metrics_log = open(op.join(work_dir, "metrics.jsonl"), "a")
 
+    recorder_dir = op.join(work_dir, "recorder")
+    predict = jax.jit(lambda s, b: model.apply(
+        s.model_variables(), b["image_units"], train=False))
+
     def run_eval(state, epoch):
         nonlocal best_f1
         agg = {}
@@ -165,6 +174,18 @@ def main(argv=None):
                                   num_workers=args.num_workers)
         for batch in device_prefetch(batches, mesh):
             m = eval_step(state, batch)
+            if n_b < args.record_predictions:
+                import pickle
+
+                os.makedirs(recorder_dir, exist_ok=True)
+                pred = predict(state, batch)
+                with open(op.join(recorder_dir,
+                                  f"val-e{epoch}-b{n_b}.pkl"), "wb") as f:
+                    pickle.dump({
+                        "pred_voxels": np.asarray(pred),
+                        "gt_voxels": np.asarray(batch["voxels"]),
+                        "epoch": epoch,
+                    }, f)
             for k, v in m.items():
                 agg[k] = agg.get(k, 0.0) + float(v)
             n_b += 1
