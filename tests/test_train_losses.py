@@ -201,3 +201,26 @@ def test_gan_training_reduces_disc_loss():
             disc, params, opt_state, fake, real, gan_k=10, optimizer=tx)
         losses.append(float(d_loss))
     assert losses[-1] < losses[0]
+
+
+def test_voxel_encoder_loss():
+    """VoxelEncoder shapes match the reference architecture contract
+    (losses.py:51-96: (B, L, C, H, W) -> (B, L, 512)); identical inputs
+    give zero loss, different inputs positive."""
+    import jax
+    import jax.numpy as jnp
+
+    from v2ce_toolbox_tpu.train.voxel_encoder import EncoderLoss, VoxelEncoder
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 3, 32, 40, 20).astype(np.float32))
+    enc = VoxelEncoder()
+    variables = enc.init(jax.random.key(0), x)
+    emb = enc.apply(variables, x)
+    assert emb.shape == (2, 3, 512)
+
+    loss = EncoderLoss(rng=jax.random.key(1),
+                       input_shape=(1, 1, 32, 40, 20))
+    assert float(loss(x, x)) == 0.0
+    y = jnp.asarray(rng.rand(2, 3, 32, 40, 20).astype(np.float32))
+    assert float(loss(x, y)) > 0.0
