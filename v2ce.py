@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-l", "--log_level", type=str, default="info")
     p.add_argument("-b", "--batch_size", type=int, default=1)
     p.add_argument("--stage2_batch_size", type=int, default=24)
+    p.add_argument("--bf16", type=SBool, default=False, nargs="?", const=True,
+                   help="run the stage-1 model with bfloat16 compute + "
+                        "activations (faster on TPU; voxel values differ "
+                        "from float32 at the 3rd decimal)")
     return p
 
 
@@ -70,13 +74,17 @@ def main(argv=None):
         if path is not None:
             assert os.path.exists(path), f"{path} does not exist"
 
-    from v2ce_toolbox_tpu.config import PipelineConfig
+    import jax.numpy as jnp
+
+    from v2ce_toolbox_tpu.config import ModelConfig, PipelineConfig
     from v2ce_toolbox_tpu.pipeline.driver import V2cePipeline
     from v2ce_toolbox_tpu.utils.jax_setup import enable_compilation_cache
 
     enable_compilation_cache()
 
     config = PipelineConfig(
+        model=ModelConfig(
+            compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32),
         infer_type=args.infer_type,
         seq_len=args.seq_len,
         height=args.height,

@@ -170,10 +170,16 @@ def _activation(name: Optional[str]):
 
 
 class BatchNorm(nn.Module):
-    """Torch-convention BatchNorm over the channel (last) axis."""
+    """Torch-convention BatchNorm over the channel (last) axis.
+
+    compute_dtype controls the OUTPUT/activation dtype: with bf16 the whole
+    network's stored activations halve in size (the model is HBM-bound on
+    TPU — f32 activations between bf16 convs erase the bf16 win). Params
+    and running stats stay float32."""
 
     torch_momentum: float = 0.1
     epsilon: float = 1e-5
+    compute_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -181,7 +187,8 @@ class BatchNorm(nn.Module):
             use_running_average=not train,
             momentum=1.0 - self.torch_momentum,
             epsilon=self.epsilon,
-            dtype=jnp.float32,
+            dtype=self.compute_dtype,
+            param_dtype=jnp.float32,
             name="bn",
         )
         return bn(x)
@@ -211,7 +218,8 @@ class ConvLayer3D(nn.Module):
         out = conv_cls(name="conv", **kw)(x)
         if self.norm == "BN":
             # reference: submodules.py:111 — BatchNorm3d(momentum=0.01)
-            out = BatchNorm(torch_momentum=0.01, name="norm")(out, train=train)
+            out = BatchNorm(torch_momentum=0.01, name="norm",
+                            compute_dtype=self.compute_dtype)(out, train=train)
         act = _activation(self.activation)
         if act is not None:
             out = act(out)
@@ -239,13 +247,15 @@ class ResidualBlock3D(nn.Module):
                        strides=self.stride, padding=pad1, use_bias=use_bias,
                        compute_dtype=self.compute_dtype)(x)
         if self.norm in ("BN", "IN"):
-            out = BatchNorm(name="bn1")(out, train=train)
+            out = BatchNorm(name="bn1",
+                            compute_dtype=self.compute_dtype)(out, train=train)
         out = jax.nn.relu(out)
         out = conv_cls(name="conv2", features=self.features, kernel_size=(3, 3, 3),
                        strides=(1, 1, 1), padding=pad1, use_bias=use_bias,
                        compute_dtype=self.compute_dtype)(out)
         if self.norm in ("BN", "IN"):
-            out = BatchNorm(name="bn2")(out, train=train)
+            out = BatchNorm(name="bn2",
+                            compute_dtype=self.compute_dtype)(out, train=train)
 
         # Projection path: 1x1x1 conv (bias=True — torch Conv3d default)
         # followed by an unconditional BatchNorm. The reference guards this
@@ -257,7 +267,9 @@ class ResidualBlock3D(nn.Module):
                         kernel_size=(1, 1, 1), strides=self.stride,
                         padding=((0, 0),) * 3, use_bias=True,
                         compute_dtype=self.compute_dtype)(x)
-        residual = BatchNorm(name="downsample_bn")(residual, train=train)
+        residual = BatchNorm(name="downsample_bn",
+                             compute_dtype=self.compute_dtype)(residual,
+                                                               train=train)
 
         return jax.nn.relu(out + residual)
 
