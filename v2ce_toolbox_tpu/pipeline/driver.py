@@ -182,6 +182,47 @@ class V2cePipeline:
             recs.extend(to_recarrays(s, offsets))
         return recs[:t]
 
+    def voxels_to_event_stream(self, voxels: jax.Array,
+                               key: Optional[jax.Array] = None) -> np.ndarray:
+        """Like voxels_to_events but emits ONE concatenated structured
+        stream via the native single-pass packer (io/native.py), applying
+        the per-frame i/fps offsets of v2ce.py:363-367."""
+        from v2ce_toolbox_tpu.io.native import pack_event_stream
+
+        cfg = self.config
+        if key is None:
+            key = jax.random.key(0)
+        t, h, w, c = voxels.shape
+        v = jnp.transpose(voxels, (0, 3, 1, 2)).reshape(t, 2, c // 2, h, w)
+        chunk = cfg.stage2_batch_size
+        n_chunks = -(-t // chunk)
+        pad = n_chunks * chunk - t
+        if pad:
+            v = jnp.concatenate(
+                [v, jnp.zeros((pad, *v.shape[1:]), v.dtype)], axis=0)
+        parts = []
+        for i in range(n_chunks):
+            s = sample_events(
+                v[i * chunk:(i + 1) * chunk],
+                jax.random.fold_in(key, i),
+                fps=cfg.fps,
+                additional_events_strategy=cfg.sampler.additional_events_strategy,
+                pooling_type=cfg.sampler.pooling_type,
+                pooling_kernel_size=cfg.sampler.pooling_kernel_size,
+                bidirectional=cfg.sampler.bidirectional,
+                max_events_per_voxel=cfg.sampler.max_events_per_voxel,
+                capacity=cfg.sampler.event_capacity,
+            )
+            base = i * chunk
+            frames = min(chunk, t - base)
+            offsets = ((np.arange(chunk) + base) / cfg.fps * 1e6
+                       ).astype(np.int64)
+            parts.append(pack_event_stream(
+                np.asarray(s.t_us[:frames]), np.asarray(s.x[:frames]),
+                np.asarray(s.y[:frames]), np.asarray(s.p[:frames]),
+                np.asarray(s.count[:frames], np.int32), offsets[:frames]))
+        return np.concatenate(parts) if parts else np.zeros(0)
+
     # -- full run ---------------------------------------------------------
 
     def run(self, *, input_video_path: Optional[str] = None,
@@ -239,8 +280,7 @@ class V2cePipeline:
             write_video(np.asarray(frames), ef_path, cfg.fps)
             result["event_frame_video"] = ef_path
 
-        recs = self.voxels_to_events(voxels)
-        event_stream = np.concatenate(recs)
+        event_stream = self.voxels_to_event_stream(voxels)
         ev_path = op.join(out_folder, f"{output_name}-events.npz")
         np.savez(ev_path, event_stream=event_stream)
         result.update(
