@@ -217,3 +217,43 @@ def test_end_to_end_smoke(tmp_path):
         assert ev["x"].max() < w and ev["y"].max() < h
         # absolute timestamps must span multiple frames
         assert ev["timestamp"].max() > 1e6 / 30
+
+
+def test_multichip_inference_sharding(tmp_path):
+    """Pipeline forward sharded over the 8-device CPU mesh: same voxels as
+    the single-device run (windows are embarrassingly parallel)."""
+    import cv2
+    import numpy as np
+
+    from tools.make_test_video import make_frames
+
+    from v2ce_toolbox_tpu.config import PipelineConfig, SamplerConfig
+    from v2ce_toolbox_tpu.parallel.mesh import make_mesh
+    from v2ce_toolbox_tpu.pipeline.driver import V2cePipeline
+
+    h, w = 32, 44
+    frames = make_frames(num_frames=10, height=h, width=w)
+    video_path = str(tmp_path / "clip.mp4")
+    fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+    vw = cv2.VideoWriter(video_path, fourcc, 30, (w, h))
+    for f in frames:
+        vw.write(cv2.cvtColor(f, cv2.COLOR_GRAY2BGR))
+    vw.release()
+
+    cfg = PipelineConfig(
+        infer_type="center", height=h, width=w, batch_size=3, seq_len=2,
+        max_frame_num=10, stage2_batch_size=4,
+        sampler=SamplerConfig(event_capacity=1 << 12),
+    )
+    from v2ce_toolbox_tpu.io.video import VideoReader
+
+    pipe1 = V2cePipeline(cfg, model_path=None)
+    vox1 = np.asarray(pipe1.video_to_voxels(
+        vidcap=VideoReader(video_path, color_mode="GRAY")))
+
+    mesh = make_mesh(8)
+    pipe8 = V2cePipeline(cfg, model_path=None, mesh=mesh)
+    vox8 = np.asarray(pipe8.video_to_voxels(
+        vidcap=VideoReader(video_path, color_mode="GRAY")))
+    assert vox8.shape == vox1.shape
+    np.testing.assert_allclose(vox8, vox1, rtol=2e-4, atol=2e-5)

@@ -65,8 +65,11 @@ class V2cePipeline:
     """Video/image-sequence -> event stream converter (stage 1 + stage 2)."""
 
     def __init__(self, config: PipelineConfig = PipelineConfig(),
-                 model_path: Optional[str] = None):
+                 model_path: Optional[str] = None, mesh=None):
+        """mesh: optional jax.sharding.Mesh with a 'data' axis — window
+        batches shard across its chips (embarrassingly parallel)."""
         self.config = config
+        self.mesh = mesh
         self.model = V2ce3d(config=config.model)
         self.variables = load_variables(
             self.model, model_path, height=config.height, width=config.width
@@ -84,6 +87,7 @@ class V2cePipeline:
                 infer_type=self.config.infer_type,
                 width=self.config.width,
                 resized_width=resized_width,
+                mesh=self.mesh,
             )
         return self._fwd_cache[key]
 
@@ -105,9 +109,18 @@ class V2cePipeline:
             if not batch_frames:
                 return
             frames = np.stack(batch_frames, axis=0)  # (b, L+1, H, W')
+            real = frames.shape[0]
+            if self.mesh is not None:
+                # pad to a multiple of the data axis (sharding needs even
+                # division); padded windows are sliced off below
+                n_dp = self.mesh.shape["data"]
+                pad = -real % n_dp
+                if pad:
+                    frames = np.concatenate(
+                        [frames, np.repeat(frames[-1:], pad, axis=0)], axis=0)
             fwd = self._forward_fn(frames.shape[-1])
             out = fwd(jnp.asarray(frames))
-            window_outputs.append(out)
+            window_outputs.append(out[:real])
             batch_frames.clear()
 
         for start in starts:

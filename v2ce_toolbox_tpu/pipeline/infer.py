@@ -39,6 +39,7 @@ def make_forward_fn(
     resized_width: Optional[int] = None,
     compute_dtype=jnp.float32,
     donate: bool = False,
+    mesh=None,
 ) -> Callable[[jax.Array], jax.Array]:
     """Build a jitted (B, L+1, H, W') frames -> (B, L, H, W_out, 20) voxels
     forward step (normalization + pairing fused in).
@@ -79,4 +80,13 @@ def make_forward_fn(
             outs[-1] = outs[-1][:, :, :, -remainder:, :]
         return jnp.concatenate(outs, axis=3)       # (B, L, H, W', 20)
 
+    if mesh is not None:
+        # Inference is embarrassingly parallel along the window batch
+        # (SURVEY.md §2.5): shard axis 0 over the 'data' mesh axis, params
+        # replicated; XLA keeps everything chip-local (no collectives).
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        data = NamedSharding(mesh, P("data"))
+        return jax.jit(fwd, in_shardings=data, out_shardings=data,
+                       donate_argnums=(0,) if donate else ())
     return jax.jit(fwd, donate_argnums=(0,) if donate else ())
