@@ -63,3 +63,32 @@ def test_train_main_smoke(tmp_path):
 
     rec = pickle.load(open(rec_dir / recs[0], "rb"))
     assert rec["pred_voxels"].shape == rec["gt_voxels"].shape
+
+
+def test_train_main_resume_and_previews(tmp_path):
+    """Resume from a checkpoint (--load_dir) and dump previews."""
+    import json
+
+    import train_main
+    from v2ce_toolbox_tpu.data.dummy_data_gen import generate
+
+    data_dir = str(tmp_path / "data")
+    log_dir = str(tmp_path / "logs")
+    generate(data_dir, num_packets=20, height=32, width=40,
+             events_per_frame=64)
+    base_args = [
+        "--data_dir", data_dir, "--log_dir", log_dir,
+        "--batch_size", "2", "--seq_len", "2", "--max_epochs", "1",
+        "--max_steps_per_epoch", "1", "--num_workers", "1",
+        "--devices", "1", "--loss", "pyramid",
+    ]
+    train_main.main(base_args + ["--exp_name", "first",
+                                 "--record_predictions", "1",
+                                 "--dump_previews", "true"])
+    assert (tmp_path / "logs" / "first" / "previews" / "epoch0.png").exists()
+    ckpt_dir = str(tmp_path / "logs" / "first" / "checkpoints")
+    train_main.main(base_args + ["--exp_name", "resumed",
+                                 "--load_dir", ckpt_dir])
+    lines = [json.loads(line) for line in
+             open(tmp_path / "logs" / "resumed" / "metrics.jsonl")]
+    assert any("train" in x for x in lines)

@@ -78,6 +78,9 @@ def build_parser():
     g.add_argument("--random_flip", type=SBool, default=False, nargs="?", const=True)
     g.add_argument("--max_steps_per_epoch", default=0, type=int,
                    help="truncate epochs (0 = full epoch); smoke-test hook")
+    g.add_argument("--dump_previews", type=SBool, default=False, nargs="?",
+                   const=True, help="save pred/GT event-frame preview grids "
+                                    "each eval (TB image-callback analog)")
     g.add_argument("--record_predictions", default=0, type=int,
                    help="dump this many val batches (pred + GT voxels) to "
                         "<workdir>/recorder each eval — feeds the stage-2 "
@@ -152,6 +155,19 @@ def main(argv=None):
         rng=jax.random.key(args.seed),
     )
 
+    if args.load_dir:
+        # full-state resume (reference: train/main.py:61-77 +
+        # utils.load_model_path best/last resolution)
+        from v2ce_toolbox_tpu.utils.checkpoint import (
+            best_or_last,
+            load_checkpoint,
+        )
+
+        ckpt = (best_or_last(args.load_dir, prefer_best=args.load_best)
+                or args.load_dir)
+        logger.info("resuming from checkpoint %s", ckpt)
+        state = load_checkpoint(ckpt, target=state)
+
     train_step = make_train_step(model, cfg, disc=disc, gan_k=args.gan_k,
                                  use_3d_disc=args.gan_3d_conv,
                                  steps_per_epoch=steps_per_epoch, mesh=mesh)
@@ -186,6 +202,27 @@ def main(argv=None):
                         "gt_voxels": np.asarray(batch["voxels"]),
                         "epoch": epoch,
                     }, f)
+                if args.dump_previews and n_b == 0:
+                    # event-frame preview grid (reference:
+                    # WritePlotsToTensorBoardCallBack, callbacks.py:72-162)
+                    import sys as _sys
+
+                    _sys.path.insert(0, op.dirname(op.abspath(__file__)))
+                    from tools.vis_tools import batch_show, event_frame_rgb
+
+                    pv = np.asarray(pred[0])      # (L, H, W, 20)
+                    gv = np.asarray(batch["voxels"][0])
+                    imgs, titles = [], []
+                    for i in range(0, pv.shape[0], max(pv.shape[0] // 4, 1)):
+                        ref_layout = lambda a: np.moveaxis(
+                            a[i], -1, 0).reshape(2, 10, *a.shape[1:3])
+                        imgs += [event_frame_rgb(ref_layout(pv)),
+                                 event_frame_rgb(ref_layout(gv))]
+                        titles += [f"pred f{i}", f"gt f{i}"]
+                    os.makedirs(op.join(work_dir, "previews"), exist_ok=True)
+                    batch_show(imgs, cols=2, titles=titles,
+                               save_path=op.join(work_dir, "previews",
+                                                 f"epoch{epoch}.png"))
             for k, v in m.items():
                 agg[k] = agg.get(k, 0.0) + float(v)
             n_b += 1
