@@ -198,3 +198,31 @@ def test_resnet_discriminator_logits():
     variables = disc.init(jax.random.key(0), x)
     out = disc.apply(variables, x, train=False)
     assert out.shape == (2, 2)
+
+
+def test_flow_to_color_properties():
+    import sys
+
+    sys.path.insert(0, _cf.REPO_ROOT)
+    from tools.vis_tools import flow_to_color
+
+    rng = np.random.RandomState(0)
+    flow = rng.randn(16, 20, 2).astype(np.float32)
+    img = flow_to_color(flow)
+    assert img.shape == (16, 20, 3) and img.dtype == np.uint8
+    # zero flow renders (nearly) white
+    white = flow_to_color(np.zeros((4, 4, 2), np.float32))
+    assert white.min() >= 250
+
+
+def test_confusion_matrix_figure(tmp_path):
+    import sys
+
+    sys.path.insert(0, _cf.REPO_ROOT)
+    from tools.vis_tools import plot_confusion_matrix
+
+    cm = np.array([[5, 1], [2, 7]])
+    p = plot_confusion_matrix(cm, ["a", "b"], save_path=str(tmp_path / "cm.png"))
+    import os
+
+    assert os.path.exists(p)

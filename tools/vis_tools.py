@@ -108,3 +108,91 @@ def event_frame_rgb(voxel_frame: np.ndarray, bound: float = 5.0) -> np.ndarray:
     rgb[..., 0] = (ef[0] * 255).astype(np.uint8)
     rgb[..., 1] = (ef[1] * 255).astype(np.uint8)
     return rgb
+
+
+# ---------------------------------------------------------------------------
+# optical-flow color wheel (reference: train/scripts/utils/flow_vis.py)
+# ---------------------------------------------------------------------------
+
+def _make_colorwheel() -> np.ndarray:
+    """Baker et al. flow color wheel, 55 colors (standard flow_vis)."""
+    RY, YG, GC, CB, BM, MR = 15, 6, 4, 11, 13, 6
+    ncols = RY + YG + GC + CB + BM + MR
+    wheel = np.zeros((ncols, 3))
+    col = 0
+    wheel[0:RY, 0] = 255
+    wheel[0:RY, 1] = np.floor(255 * np.arange(RY) / RY)
+    col += RY
+    wheel[col:col + YG, 0] = 255 - np.floor(255 * np.arange(YG) / YG)
+    wheel[col:col + YG, 1] = 255
+    col += YG
+    wheel[col:col + GC, 1] = 255
+    wheel[col:col + GC, 2] = np.floor(255 * np.arange(GC) / GC)
+    col += GC
+    wheel[col:col + CB, 1] = 255 - np.floor(255 * np.arange(CB) / CB)
+    wheel[col:col + CB, 2] = 255
+    col += CB
+    wheel[col:col + BM, 2] = 255
+    wheel[col:col + BM, 0] = np.floor(255 * np.arange(BM) / BM)
+    col += BM
+    wheel[col:col + MR, 2] = 255 - np.floor(255 * np.arange(MR) / MR)
+    wheel[col:col + MR, 0] = 255
+    return wheel
+
+
+def flow_to_color(flow: np.ndarray, clip_flow: float = None) -> np.ndarray:
+    """(H, W, 2) optical flow -> (H, W, 3) uint8 color render
+    (reference: train/scripts/utils/flow_vis.py, the standard colorwheel)."""
+    u, v = flow[..., 0].astype(np.float64), flow[..., 1].astype(np.float64)
+    if clip_flow is not None:
+        u, v = np.clip(u, -clip_flow, clip_flow), np.clip(v, -clip_flow, clip_flow)
+    rad = np.sqrt(u ** 2 + v ** 2)
+    rad_max = max(rad.max(), 1e-5)
+    u, v = u / rad_max, v / rad_max
+    rad = rad / rad_max
+
+    wheel = _make_colorwheel()
+    ncols = wheel.shape[0]
+    a = np.arctan2(-v, -u) / np.pi
+    fk = (a + 1) / 2 * (ncols - 1)
+    k0 = np.floor(fk).astype(int)
+    k1 = (k0 + 1) % ncols
+    f = fk - k0
+    out = np.zeros((*u.shape, 3), np.uint8)
+    for ch in range(3):
+        col0 = wheel[k0, ch] / 255.0
+        col1 = wheel[k1, ch] / 255.0
+        col = (1 - f) * col0 + f * col1
+        col = 1 - rad * (1 - col)          # saturate with radius
+        out[..., ch] = np.floor(255 * col)
+    return out
+
+
+def plot_confusion_matrix(cm: np.ndarray, class_names, save_path=None):
+    """Confusion-matrix figure (reference:
+    train/scripts/utils/confusion_matrix.py, matplotlib part)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(6, 6))
+    im = ax.imshow(cm, cmap="Blues")
+    ax.set_xticks(range(len(class_names)), class_names, rotation=45)
+    ax.set_yticks(range(len(class_names)), class_names)
+    norm = cm.astype(np.float64) / np.maximum(cm.sum(axis=1, keepdims=True), 1)
+    for i in range(cm.shape[0]):
+        for j in range(cm.shape[1]):
+            ax.text(j, i, f"{cm[i, j]}\n{norm[i, j]:.2f}",
+                    ha="center", va="center",
+                    color="white" if norm[i, j] > 0.5 else "black",
+                    fontsize=8)
+    ax.set_xlabel("Predicted")
+    ax.set_ylabel("True")
+    fig.colorbar(im)
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=120)
+        plt.close(fig)
+        return save_path
+    return fig
