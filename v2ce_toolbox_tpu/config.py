@@ -39,6 +39,9 @@ class ModelConfig:
     final_activation: str = "relu"
     # Compute dtype for conv FLOPs on TPU; params stay float32.
     compute_dtype: jnp.dtype = jnp.float32
+    # Rematerialize residual-block activations in the backward pass
+    # (training memory saver; no effect on inference).
+    remat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

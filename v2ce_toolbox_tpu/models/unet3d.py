@@ -40,12 +40,20 @@ class UNet3D(nn.Module):
     norm: Optional[str] = "BN"
     sn: bool = True
     compute_dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         cd = self.compute_dtype
         base = self.base_num_channels
         max_ch = base * (2 ** self.num_encoders)
+
+        # Rematerialization: recompute block activations in the backward
+        # pass instead of storing them — trades ~1/3 more FLOPs for O(depth)
+        # less activation memory, the standard TPU trick for training at
+        # full 260x346x16 resolution (HBM is the constraint, not FLOPs).
+        Block = (nn.remat(ResidualBlock3D, static_argnums=(2,))
+                 if self.remat else ResidualBlock3D)
 
         x = ConvLayer3D(name="head", features=base, kernel_size=3,
                         stride=(1, 1, 1), padding=1, activation="LeakyReLU",
@@ -54,15 +62,15 @@ class UNet3D(nn.Module):
         skips = []
         for i in range(self.num_encoders):
             skips.append(x)
-            x = ResidualBlock3D(name=f"encoder_{i}",
-                                features=base * (2 ** (i + 1)),
-                                stride=(1, 2, 2), norm=self.norm, sn=False,
-                                compute_dtype=cd)(x, train=train)
+            x = Block(name=f"encoder_{i}",
+                      features=base * (2 ** (i + 1)),
+                      stride=(1, 2, 2), norm=self.norm, sn=False,
+                      compute_dtype=cd)(x, train)
 
         for i in range(self.num_residual_blocks):
-            x = ResidualBlock3D(name=f"resblock_{i}", features=max_ch,
-                                stride=(1, 1, 1), norm=self.norm, sn=self.sn,
-                                compute_dtype=cd)(x, train=train)
+            x = Block(name=f"resblock_{i}", features=max_ch,
+                      stride=(1, 1, 1), norm=self.norm, sn=self.sn,
+                      compute_dtype=cd)(x, train)
 
         for i, skip in enumerate(reversed(skips)):
             x = upsample_nearest_to(x, (skip.shape[2], skip.shape[3]))
@@ -70,10 +78,10 @@ class UNet3D(nn.Module):
                 x = jnp.concatenate([x, skip], axis=-1)
             else:
                 x = x + skip
-            x = ResidualBlock3D(name=f"decoder_{i}",
-                                features=max_ch // (2 ** (i + 1)),
-                                stride=(1, 1, 1), norm=self.norm, sn=self.sn,
-                                compute_dtype=cd)(x, train=train)
+            x = Block(name=f"decoder_{i}",
+                      features=max_ch // (2 ** (i + 1)),
+                      stride=(1, 1, 1), norm=self.norm, sn=self.sn,
+                      compute_dtype=cd)(x, train)
 
         x = ConvLayer3D(name="pred", features=self.num_output_channels,
                         kernel_size=1, stride=(1, 1, 1), padding=0,

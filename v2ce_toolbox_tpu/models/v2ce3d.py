@@ -39,6 +39,7 @@ class V2ce3d(nn.Module):
             norm=cfg.norm,
             sn=cfg.spectral_norm,
             compute_dtype=cfg.compute_dtype,
+            remat=cfg.remat,
         )(x, train=train)
 
 

@@ -437,11 +437,8 @@ def compact_frame_events_binned(
         pool_emit = jnp.where(pool_valid,
                               emit_count[pool_vox.reshape(-1)]
                               .reshape(cb, pool_bin), 0)
-        # events not covered because the multi pool overflowed
-        n_multi = jnp.sum(slot_emit >= 2, axis=1)
-        covered = jnp.minimum(n_multi, pool_bin)
-        # crude but conservative: every uncovered multi voxel loses its
-        # extra events (they are counted in `dropped` via total - emitted)
+        # Multi voxels beyond the pool lose their extra events; the loss
+        # is accounted through `dropped` = total - emitted below.
 
         for j in range(1, max_events_per_voxel):
             u = jax.random.uniform(jax.random.fold_in(key, j),
@@ -609,7 +606,6 @@ def sample_events(
     n = bb * p
     y = voxels.reshape(n, c, h, w).astype(jnp.float32)
 
-    frame_step = 1.0 / fps
     voxel_step = 1.0 / fps / (c - 1)
 
     counts, tendency = relocate_counts(y, bidirectional=bidirectional)
