@@ -65,25 +65,25 @@ def main():
         )
         return stream.count.sum()
 
-    key = jax.random.key(0)
-    # Warm-up / compile
-    c = window_step(frames0, key)
-    _ = int(np.asarray(c))
-
-    # RTT estimate (tiny op + host fetch)
-    t0 = time.time()
-    for _ in range(5):
-        np.asarray(jnp.sum(frames0[0, 0, 0, :4]))
-    rtt = (time.time() - t0) / 5
-
     n_iters = 20
+
+    @jax.jit
+    def bench_loop(frames, key):
+        """Data-dependent chained iterations INSIDE one jit: the only
+        reliable timing through the axon tunnel (block_until_ready is a
+        no-op there and per-dispatch RTT is ~190 ms)."""
+        def body(i, acc):
+            count = window_step(frames + acc * 1e-12,
+                                jax.random.fold_in(key, i))
+            return acc + count.astype(jnp.float32)
+        return jax.lax.fori_loop(0, n_iters, body, jnp.zeros((), jnp.float32))
+
+    key = jax.random.key(0)
+    _ = float(np.asarray(bench_loop(frames0, key)))   # compile + warm
     t0 = time.time()
-    total = jnp.zeros((), jnp.int32)
-    for i in range(n_iters):
-        # chain via the key so iterations are sequenced
-        total = total + window_step(frames0, jax.random.fold_in(key, i))
-    _ = int(np.asarray(total))
-    elapsed = max(time.time() - t0 - rtt, 1e-9)
+    total = float(np.asarray(bench_loop(frames0, key)))
+    elapsed = max(time.time() - t0, 1e-9)
+    assert total > 0
 
     frames_per_sec = n_iters * seq_len / elapsed
     print(json.dumps({
