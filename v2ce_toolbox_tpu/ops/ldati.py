@@ -252,8 +252,24 @@ def compact_frame_events(
     if max_events_per_voxel > 1:
         pool = min(max_multi_voxels, num_voxels)
         extra = jnp.maximum(emit_count - 1, 0)
-        pool_extra, pool_idx = lax.top_k(extra, pool)
-        pool_idx = pool_idx.astype(jnp.int32)
+        block = 16
+        if num_voxels % block == 0 and pool % block == 0 and \
+                pool < num_voxels:
+            # Block-granular pool selection: top_k over per-block maxima is
+            # 16x less data than top_k over voxels (top_k costs like a full
+            # sort on TPU regardless of k). Whole blocks enter the pool;
+            # non-multi slots are masked by the pool_extra > j guard below,
+            # and multis beyond the pool's blocks surface in `dropped`.
+            vb = num_voxels // block
+            block_score = extra.reshape(vb, block).max(axis=1)
+            _, blk_idx = lax.top_k(block_score, pool // block)
+            pool_idx = (blk_idx[:, None].astype(jnp.int32) * block +
+                        lax.broadcasted_iota(jnp.int32, (1, block), 1)
+                        ).reshape(pool)
+            pool_extra = extra[pool_idx]
+        else:
+            pool_extra, pool_idx = lax.top_k(extra, pool)
+            pool_idx = pool_idx.astype(jnp.int32)
         for j in range(1, max_events_per_voxel):
             u = jax.random.uniform(jax.random.fold_in(key, j), (pool,))
             ts_j = ts_fn(j, u, pool_idx)
