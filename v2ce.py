@@ -59,6 +59,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run the stage-1 model with bfloat16 compute + "
                         "activations (faster on TPU; voxel values differ "
                         "from float32 at the 3rd decimal)")
+    p.add_argument("--stage2_strategy", type=str, default="slope",
+                   choices=["slope", "random", "none"],
+                   help="LDATI additional-events strategy (the reference "
+                        "CLI hardcodes slope, v2ce.py:356)")
+    p.add_argument("--stage2_pooling", type=str, default="none",
+                   choices=["none", "avg", "weighted"],
+                   help="spatial pooling before the slope fit")
     return p
 
 
@@ -76,7 +83,11 @@ def main(argv=None):
 
     import jax.numpy as jnp
 
-    from v2ce_toolbox_tpu.config import ModelConfig, PipelineConfig
+    from v2ce_toolbox_tpu.config import (
+        ModelConfig,
+        PipelineConfig,
+        SamplerConfig,
+    )
     from v2ce_toolbox_tpu.pipeline.driver import V2cePipeline
     from v2ce_toolbox_tpu.utils.jax_setup import enable_compilation_cache
 
@@ -97,6 +108,11 @@ def main(argv=None):
         vis_keep_polarity=args.vis_keep_polarity,
         stage2_batch_size=args.stage2_batch_size,
         write_event_frame_video=args.write_event_frame_video,
+        sampler=SamplerConfig(
+            fps=args.fps,
+            additional_events_strategy=args.stage2_strategy,
+            pooling_type=args.stage2_pooling,
+        ),
     )
     pipeline = V2cePipeline(config, model_path=args.model_path)
     result = pipeline.run(
