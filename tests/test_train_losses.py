@@ -224,3 +224,80 @@ def test_voxel_encoder_loss():
     assert float(loss(x, x)) == 0.0
     y = jnp.asarray(rng.rand(2, 3, 32, 40, 20).astype(np.float32))
     assert float(loss(x, y)) > 0.0
+
+
+def test_compose_losses_rejects_unknown_names():
+    """A typo'd --loss term must raise, not silently train without it
+    (reference raises 'Invalid loss type': model_interface.py:367-368)."""
+    import jax.numpy as jnp
+
+    from v2ce_toolbox_tpu.train.losses import compose_losses
+
+    pred = jnp.zeros((1, 2, 8, 8, 20))
+    with pytest.raises(ValueError, match="Invalid loss"):
+        compose_losses(pred, pred, ("pyramid", "pyramd"))
+
+
+def test_compose_losses_encoder_branch():
+    """--loss encoder contributes a positive term through the frozen
+    VoxelEncoder (reference: model_interface.py:238-247)."""
+    import jax
+    import jax.numpy as jnp
+
+    from v2ce_toolbox_tpu.train.losses import compose_losses
+    from v2ce_toolbox_tpu.train.voxel_encoder import EncoderLoss
+
+    rng = np.random.RandomState(3)
+    pred = jnp.asarray(rng.rand(1, 2, 32, 40, 20).astype(np.float32))
+    gt = jnp.asarray(rng.rand(1, 2, 32, 40, 20).astype(np.float32))
+    enc = EncoderLoss(rng=jax.random.key(0), input_shape=(1, 1, 32, 40, 20))
+
+    base, _ = compose_losses(pred, gt, ("l2",))
+    with_enc, logs = compose_losses(pred, gt, ("l2", "encoder"),
+                                    encoder_loss_fn=enc)
+    assert float(logs["encoder_loss"]) > 0.0
+    assert float(with_enc) > float(base)
+    # requesting encoder without the frozen network is an error, not a no-op
+    with pytest.raises(ValueError, match="encoder"):
+        compose_losses(pred, gt, ("encoder",))
+
+
+def test_compose_losses_imu_and_physical_branches():
+    """imu MSE (model_interface.py:162-168) and physical-att MSE
+    (model_interface.py:171-184) with multi-output pred extras."""
+    import jax.numpy as jnp
+
+    from v2ce_toolbox_tpu.train.losses import DEFAULT_ALPHAS, compose_losses
+
+    rng = np.random.RandomState(4)
+    pred = jnp.asarray(rng.rand(1, 2, 16, 16, 20).astype(np.float32))
+    gt = jnp.asarray(rng.rand(1, 2, 16, 16, 20).astype(np.float32))
+    pred_imu = jnp.asarray(rng.rand(1, 2, 6).astype(np.float32))
+    gt_imu = jnp.asarray(rng.rand(1, 2, 6).astype(np.float32))
+    att0 = jnp.asarray(rng.rand(1, 2, 4, 4, 1).astype(np.float32))
+    att1 = jnp.asarray(rng.rand(1, 2, 4, 4, 1).astype(np.float32))
+    gt_att = jnp.asarray(rng.rand(1, 2, 4, 4, 1).astype(np.float32))
+
+    total, logs = compose_losses(
+        pred, gt, ("imu", "physical"),
+        pred_extras={"imu": pred_imu, "physical_atts": [att0, att1]},
+        batch={"imu": gt_imu, "physical_att": gt_att},
+    )
+    exp_imu = float(np.mean((np.asarray(pred_imu) - np.asarray(gt_imu)) ** 2))
+    exp_att = float(np.mean((np.asarray(att0) - np.asarray(gt_att)) ** 2)
+                    + np.mean((np.asarray(att1) - np.asarray(gt_att)) ** 2)) / 2
+    assert np.isclose(float(logs["imu_loss"]), exp_imu, rtol=1e-5)
+    assert np.isclose(float(logs["att_loss"]), exp_att, rtol=1e-5)
+    assert np.isclose(
+        float(total),
+        DEFAULT_ALPHAS["alpha_imu"] * exp_imu
+        + DEFAULT_ALPHAS["alpha_att"] * exp_att, rtol=1e-5)
+
+    # physical with no model attention output is silently skipped
+    # (reference gate: `'physical_atts' in pred.keys()`)
+    total2, logs2 = compose_losses(pred, gt, ("physical", "l2"),
+                                   batch={"physical_att": gt_att})
+    assert "att_loss" not in logs2
+    # imu without the plumbing is an error
+    with pytest.raises(ValueError, match="imu"):
+        compose_losses(pred, gt, ("imu",))

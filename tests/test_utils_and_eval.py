@@ -226,3 +226,144 @@ def test_confusion_matrix_figure(tmp_path):
     import os
 
     assert os.path.exists(p)
+
+
+def test_video_reader_helpers(tmp_path):
+    """Sampling/export helpers (reference: scripts/video_reader.py:153-333):
+    to_images dumps every frame as <n>.png, read_frames spaces evenly,
+    read_middle_frame / read_frame_at_index pick the right frames, and
+    insets crop symmetrically (with the reference's H/W mixup fixed)."""
+    import cv2
+
+    from tools.make_test_video import make_frames
+    from v2ce_toolbox_tpu.io.video import VideoReader
+
+    frames = make_frames(num_frames=12, height=64, width=80)
+    path = str(tmp_path / "clip.mp4")
+    video = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                            (80, 64))
+    for f in frames:
+        video.write(cv2.cvtColor(f, cv2.COLOR_GRAY2BGR))
+    video.release()
+
+    reader = VideoReader(path, color_mode="GRAY")
+    assert reader.frame_count == 12
+
+    out_dir = reader.to_images(str(tmp_path / "pngs"))
+    dumped = sorted(int(p.stem) for p in (tmp_path / "pngs").glob("*.png"))
+    assert dumped == list(range(12))
+    png5 = cv2.imread(str(tmp_path / "pngs" / "5.png"), cv2.IMREAD_GRAYSCALE)
+
+    f5 = reader.read_frame_at_index(5)
+    assert f5.shape == (64, 80)
+    np.testing.assert_array_equal(f5, png5)
+
+    mid = reader.read_middle_frame()
+    np.testing.assert_array_equal(mid, reader.read_frame_at_index(6))
+
+    sampled = reader.read_frames(4)
+    assert sampled.shape == (4, 64, 80)
+    np.testing.assert_array_equal(sampled[0], reader.read_frame_at_index(0))
+    np.testing.assert_array_equal(sampled[-1], reader.read_frame_at_index(11))
+
+    rnd = reader.read_random_frames(3, seed=0)
+    assert rnd.shape == (3, 64, 80)
+    assert reader.read_all_frames().shape == (12, 64, 80)
+
+    cropped = VideoReader(path, color_mode="GRAY",
+                          insets=(0.1, 0.25)).read_frame_at_index(0)
+    assert cropped.shape == (64 - 2 * 16, 80 - 2 * 8)
+    reader.close()
+
+
+def test_mvsec_flow_fields_and_exporters(tmp_path):
+    """Converter parity extras (reference MVSEC_data_utils.py:70-340):
+    FastFlowNet-backed optical_flow / acc_flow packet fields, events->txt
+    exporter, HDRnet input dump, and the linearize helper."""
+    import pickle
+
+    import h5py
+
+    from v2ce_toolbox_tpu.data.mvsec import (
+        convert_mvsec_h5, events_to_txt, fastflownet_pair_flow,
+        linearize_image, raw_to_hdrnet_input)
+
+    rng = np.random.RandomState(1)
+    n_frames, h, w = 18, 32, 40
+    n_events = 500
+    path = str(tmp_path / "synth_data.hdf5")
+    ts = np.arange(n_frames) / 30.0
+    with h5py.File(path, "w") as f:
+        g = f.create_group("davis/left")
+        g.create_dataset("image_raw",
+                         data=rng.randint(0, 255, (n_frames, h, w),
+                                          dtype=np.uint8))
+        g.create_dataset("image_raw_ts", data=ts)
+        ev = np.zeros((n_events, 4))
+        ev[:, 0] = rng.randint(0, w, n_events)
+        ev[:, 1] = rng.randint(0, h, n_events)
+        ev[:, 2] = np.sort(rng.rand(n_events)) * ts[-1]
+        ev[:, 3] = rng.choice([-1, 1], n_events)
+        g.create_dataset("events", data=ev)
+        g.create_dataset("image_raw_event_inds",
+                         data=np.searchsorted(ev[:, 2], ts))
+        g.create_dataset("imu", data=rng.randn(50, 6))
+        g.create_dataset("imu_ts", data=np.linspace(0, ts[-1], 50))
+
+    out_dir = str(tmp_path / "packets")
+    n = convert_mvsec_h5(path, out_dir, max_sequences=1,
+                         pair_flow_fn=fastflownet_pair_flow())
+    assert n == 1
+    pkt_path = [p for p in (tmp_path / "packets").iterdir()][0]
+    with open(pkt_path, "rb") as f:
+        pkt = pickle.load(f)
+    assert pkt["optical_flow"].shape == (16, 2, h, w)
+    assert pkt["acc_flow"].shape == (16, 2, h, w)
+    assert np.isfinite(pkt["optical_flow"]).all()
+    # first frame of the file has no predecessor: acc_flow == forward flow
+    np.testing.assert_allclose(pkt["acc_flow"][0], pkt["optical_flow"][0])
+    assert not np.allclose(pkt["acc_flow"][1], pkt["optical_flow"][1])
+
+    # events->txt golden: header + one line per event, t x y p order
+    txt = events_to_txt(path, str(tmp_path), which="left")
+    lines = open(txt).read().splitlines()
+    assert lines[0] == "346 260"
+    assert len(lines) == 1 + n_events
+    t0, x0, y0, p0 = lines[1].split()
+    assert float(t0) == ev[0, 2]
+    assert (int(x0), int(y0), int(p0)) == (int(ev[0, 0]), int(ev[0, 1]),
+                                           int(ev[0, 3]))
+
+    hdr_dir = str(tmp_path / "hdr")
+    assert raw_to_hdrnet_input(path, hdr_dir) == n_frames
+    assert len(list((tmp_path / "hdr").glob("*.jpg"))) == n_frames
+    assert open(tmp_path / "hdr" / "Exposures.txt").read() == "-3\n0\n3\n"
+
+    lin = linearize_image(np.array([[0.0, 127.5, 255.0]]))
+    assert lin[0, 0] == 0.0 and abs(lin[0, 2] - 1.0) < 1e-6
+    assert lin[0, 1] < 0.5 ** 1.0  # gamma expansion darkens midtones
+
+
+def test_xyt_html_viewer(tmp_path):
+    """The plotly-parity HTML export is self-contained and embeds the
+    filtered event data (reference: tools/vis_tools.py:268-326)."""
+    from v2ce_toolbox_tpu.events import EVENT_DTYPE
+    from tools.vis_tools import plot_raw_events_xyt_html
+
+    rng = np.random.RandomState(0)
+    ev = np.zeros(1000, EVENT_DTYPE)
+    ev["timestamp"] = np.sort(rng.randint(0, 3000, 1000))
+    ev["x"] = rng.randint(0, 346, 1000)
+    ev["y"] = rng.randint(0, 260, 1000)
+    ev["polarity"] = rng.randint(0, 2, 1000)
+
+    out = plot_raw_events_xyt_html(ev, str(tmp_path / "xyt.html"),
+                                   timespan=1500)
+    html = open(out).read()
+    assert html.startswith("<!DOCTYPE html>")
+    assert "__DATA__" not in html and '"t":' in html
+    # timespan filter applied: no embedded timestamp beyond 1500 of min
+    import json, re
+    data = json.loads(re.search(r"const DATA = (\{.*?\});", html).group(1))
+    assert max(data["t"]) - min(data["t"]) < 1500
+    assert set(data["p"]) <= {0, 1}

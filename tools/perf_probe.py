@@ -1,0 +1,214 @@
+#!/usr/bin/env python
+"""Round-2 perf probes on the real TPU chip: isolate stage-1 conv layout
+options and stage-2 sampler primitive costs so optimization decisions are
+measured, not guessed (PERF.md records the conclusions).
+
+Each probe is one jit with an internal data-dependent `lax.fori_loop` chain
+(the only reliable timing through the axon tunnel, see bench.py).
+
+Usage: python tools/perf_probe.py [probe ...]
+Probes: model, model_pad, model_bf16, conv_iso, sampler, sort, gather
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def timed_loop(fn, args, n_iters=20, perturb=None):
+    """Run fn(args) n_iters times chained inside one jit; return seconds per
+    iteration. fn must return a scalar-reducible pytree."""
+    if perturb is None:
+        def perturb(args, acc):
+            return jax.tree.map(
+                lambda a: (a + acc * 1e-12).astype(a.dtype)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, args)
+
+    @jax.jit
+    def loop(args):
+        def body(i, acc):
+            out = fn(perturb(args, acc))
+            leaves = [jnp.sum(x).astype(jnp.float32)
+                      for x in jax.tree.leaves(out)]
+            return acc + sum(leaves) * 1e-20
+        return lax.fori_loop(0, n_iters, body, jnp.zeros((), jnp.float32))
+
+    _ = float(np.asarray(loop(args)))          # compile + warm
+    t0 = time.time()
+    r = float(np.asarray(loop(args)))
+    dt = (time.time() - t0) / n_iters
+    assert np.isfinite(r)
+    return dt
+
+
+def probe_model(compute_dtype=jnp.float32, pad_to=None, label="model"):
+    from v2ce_toolbox_tpu.config import ModelConfig
+    from v2ce_toolbox_tpu.models import V2ce3d
+
+    h, w = 260, 346
+    model = V2ce3d(config=ModelConfig(compute_dtype=compute_dtype))
+    x = jnp.asarray(np.random.RandomState(0)
+                    .rand(1, 16, h, w, 2).astype(np.float32))
+    variables = model.init(jax.random.key(0), x[:, :3], train=False)
+
+    if pad_to is not None:
+        ph, pw = pad_to
+
+        def fn(x):
+            xp = jnp.pad(x, ((0, 0), (0, 0), (0, ph - h), (0, pw - w), (0, 0)))
+            y = model.apply(variables, xp, train=False)
+            return y[:, :, :h, :w]
+    else:
+        def fn(x):
+            return model.apply(variables, x, train=False)
+
+    dt = timed_loop(fn, x, n_iters=10)
+    print(f"{label}: {dt*1e3:.2f} ms/window ({16/dt:.1f} fps)")
+
+
+def probe_conv_iso():
+    """Isolated decoder-shaped conv3d: XLA conv vs 27-term shifted-matmul
+    (einsum) formulation, f32 and bf16."""
+    shapes = [
+        ("dec0_conv1", (1, 16, 33, 44, 768), 256),
+        ("dec2_conv1", (1, 16, 130, 173, 192), 64),
+        ("enc1_conv2", (1, 16, 65, 87, 128), 128),
+    ]
+    for name, xshape, cout in shapes:
+        cin = xshape[-1]
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.rand(*xshape).astype(np.float32))
+        k = jnp.asarray(rng.rand(3, 3, 3, cin, cout).astype(np.float32) * 0.01)
+
+        def conv_fn(dtype):
+            def fn(args):
+                xx, kk = args
+                return lax.conv_general_dilated(
+                    xx.astype(dtype), kk.astype(dtype),
+                    window_strides=(1, 1, 1),
+                    padding=((1, 1),) * 3,
+                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                    preferred_element_type=jnp.float32)
+            return fn
+
+        def shifted_matmul(dtype):
+            def fn(args):
+                xx, kk = args
+                xx = xx.astype(dtype)
+                kk = kk.astype(dtype)
+                n, l, hh, ww, _ = xx.shape
+                xp = jnp.pad(xx, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+                out = jnp.zeros((n, l, hh, ww, cout), jnp.float32)
+                for dl in range(3):
+                    for dh in range(3):
+                        for dw in range(3):
+                            sl = xp[:, dl:dl + l, dh:dh + hh, dw:dw + ww]
+                            out = out + jnp.einsum(
+                                "nlhwc,co->nlhwo", sl, kk[dl, dh, dw],
+                                preferred_element_type=jnp.float32)
+                return out
+            return fn
+
+        flops = 2 * np.prod(xshape[:4]) * cin * cout * 27
+        for label, fn in [("conv_f32", conv_fn(jnp.float32)),
+                          ("conv_bf16", conv_fn(jnp.bfloat16)),
+                          ("mm_f32", shifted_matmul(jnp.float32)),
+                          ("mm_bf16", shifted_matmul(jnp.bfloat16))]:
+            try:
+                dt = timed_loop(fn, (x, k), n_iters=10)
+                print(f"{name} {label}: {dt*1e3:.2f} ms  "
+                      f"{flops/dt/1e12:.1f} TF/s")
+            except Exception as e:  # noqa: BLE001
+                print(f"{name} {label}: FAILED {type(e).__name__}: {e}")
+
+
+def probe_sampler():
+    from v2ce_toolbox_tpu.config import SamplerConfig
+    from v2ce_toolbox_tpu.ops.ldati import sample_events
+
+    scfg = SamplerConfig()
+    rng = np.random.RandomState(0)
+    v = jnp.asarray((rng.rand(16, 2, 10, 260, 346) < 0.1).astype(np.float32)
+                    * rng.rand(16, 2, 10, 260, 346).astype(np.float32) * 4)
+
+    def fn(args):
+        vv, = args
+        s = sample_events(
+            vv, jax.random.key(0), fps=30,
+            additional_events_strategy=scfg.additional_events_strategy,
+            max_events_per_voxel=scfg.max_events_per_voxel,
+            capacity=scfg.event_capacity)
+        return s.count
+
+    dt = timed_loop(fn, (v,), n_iters=10)
+    print(f"sampler 16 frames: {dt*1e3:.2f} ms ({16/dt:.1f} fps)")
+
+
+def probe_sort():
+    """Primitive costs at sampler scale: kv sort, batched row sort, top_k,
+    gather — per frame volumes, vmapped over 16 frames."""
+    rng = np.random.RandomState(0)
+    for n in (1 << 18, 1 << 20, 2 << 20, 3 << 20):
+        keys = jnp.asarray(rng.randint(0, 1 << 30, (16, n), np.int32))
+        vals = jnp.asarray(rng.randint(0, 1 << 20, (16, n), np.int32))
+
+        def kv_sort(args):
+            kk, vv = args
+            return lax.sort((kk, vv), dimension=1, num_keys=1)[0]
+
+        def k_sort(args):
+            kk, _ = args
+            return lax.sort(kk, dimension=1)
+
+        def rows9(args):
+            kk, _ = args
+            return lax.sort(kk.reshape(16 * 9, n // 9), dimension=1)
+
+        def topk64(args):
+            kk, _ = args
+            return lax.top_k(kk, 1 << 16)[0]
+
+        def gather64(args):
+            kk, vv = args
+            idx = jnp.abs(vv[:, :1 << 16]) % n
+            return jnp.take_along_axis(kk, idx, axis=1)
+
+        for label, fn in [("kv_sort", kv_sort), ("key_sort", k_sort),
+                          ("rows9_sort", rows9), ("topk_64k", topk64),
+                          ("gather_64k", gather64)]:
+            def perturb(args, acc):
+                kk, vv = args
+                return (kk + (acc * 1e-12).astype(jnp.int32), vv)
+            dt = timed_loop(fn, (keys, vals), n_iters=10, perturb=perturb)
+            print(f"n={n>>20}.{(n>>10)&1023:03d}M x16 {label}: "
+                  f"{dt*1e3:.2f} ms  ({n*16/dt/1e9:.2f} Gelem/s)")
+
+
+PROBES = {
+    "model": lambda: probe_model(),
+    "model_pad": lambda: probe_model(pad_to=(264, 384), label="model_pad384"),
+    "model_bf16": lambda: probe_model(jnp.bfloat16, label="model_bf16"),
+    "model_bf16_pad": lambda: probe_model(jnp.bfloat16, pad_to=(264, 384),
+                                          label="model_bf16_pad384"),
+    "conv_iso": probe_conv_iso,
+    "sampler": probe_sampler,
+    "sort": probe_sort,
+}
+
+
+if __name__ == "__main__":
+    from v2ce_toolbox_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
+    names = sys.argv[1:] or list(PROBES)
+    print(f"devices: {jax.devices()}")
+    for name in names:
+        PROBES[name]()

@@ -196,3 +196,100 @@ def plot_confusion_matrix(cm: np.ndarray, class_names, save_path=None):
         plt.close(fig)
         return save_path
     return fig
+
+
+_XYT_HTML_TEMPLATE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>__TITLE__</title>
+<style>
+ body{margin:0;background:#111;color:#ddd;font:13px sans-serif;overflow:hidden}
+ #hud{position:fixed;top:8px;left:10px;opacity:.8}
+ canvas{display:block;cursor:grab}
+</style></head><body>
+<div id="hud">__TITLE__ — drag to rotate, wheel to zoom<br>
+ <span style="color:lightcoral">&#9632;</span> ON
+ <span style="color:lightgreen">&#9632;</span> OFF</div>
+<canvas id="c"></canvas>
+<script>
+const DATA = __DATA__;           // [t, x, y, p] columns, normalized later
+const cv = document.getElementById('c'), ctx = cv.getContext('2d');
+let W, H; function resize(){W=cv.width=innerWidth;H=cv.height=innerHeight;}
+resize(); addEventListener('resize', ()=>{resize();draw();});
+const n = DATA.t.length;
+// normalize each axis to [-1, 1]
+function norm(a){const lo=Math.min(...a),hi=Math.max(...a),s=hi>lo?hi-lo:1;
+  return a.map(v=>2*(v-lo)/s-1);}
+const T=norm(DATA.t), X=norm(DATA.x), Y=norm(DATA.y), P=DATA.p;
+let rx=-0.4, ry=0.7, zoom=0.9;
+let dragging=false, px=0, py=0;
+cv.onmousedown=e=>{dragging=true;px=e.clientX;py=e.clientY;};
+onmouseup=()=>dragging=false;
+onmousemove=e=>{if(!dragging)return;
+  ry+=(e.clientX-px)*0.006; rx+=(e.clientY-py)*0.006;
+  px=e.clientX; py=e.clientY; draw();};
+cv.onwheel=e=>{zoom*=e.deltaY<0?1.1:0.9; draw(); e.preventDefault();};
+function draw(){
+  ctx.fillStyle='#111'; ctx.fillRect(0,0,W,H);
+  const cX=Math.cos(rx),sX=Math.sin(rx),cY=Math.cos(ry),sY=Math.sin(ry);
+  const s=Math.min(W,H)*0.35*zoom;
+  // draw a faint axis frame (t axis longest: aspect 1.5,1,0.75)
+  for(let i=0;i<n;i++){
+    // world coords: z=t (depth axis), x=x, y=y (screen up inverted)
+    let wx=X[i], wy=-Y[i]*0.75, wz=T[i]*1.5;
+    let x1=wx*cY+wz*sY, z1=-wx*sY+wz*cY;          // rotate about Y
+    let y2=wy*cX-z1*sX, z2=wy*sX+z1*cX;           // rotate about X
+    const persp=1/(1+z2*0.25);
+    const sx=W/2+x1*s*persp, sy=H/2+y2*s*persp;
+    ctx.fillStyle = P[i] ? 'rgba(240,128,128,0.75)'
+                         : 'rgba(144,238,144,0.75)';
+    ctx.fillRect(sx, sy, 1.6*persp+0.4, 1.6*persp+0.4);
+  }
+}
+draw();
+</script></body></html>
+"""
+
+
+def plot_raw_events_xyt_html(events, out_path, timespan: int = 1500,
+                             max_events: int = 60000,
+                             title: str = "raw events (x, y, t)") -> str:
+    """Interactive 3D x-y-t scatter as a SELF-CONTAINED html file — the
+    plotly-parity fallback (reference: tools/vis_tools.py:268-326 uses
+    plotly Scatter3d; plotly is not installed here, so the viewer is a
+    vendored ~60-line canvas renderer with drag-rotate/zoom, same
+    lightcoral/lightgreen polarity palette and the same 260-y flip).
+
+    Args:
+      events: structured array with timestamp/x/y/polarity fields, or an
+        (N, 4) float array of [t, x, y, p] rows like the reference.
+      timespan: keep events with t - t.min() < timespan (reference arg).
+    Returns out_path.
+    """
+    import json
+
+    if events.dtype.names:
+        t = np.asarray(events["timestamp"], np.float64)
+        x = np.asarray(events["x"], np.float64)
+        y = 260.0 - np.asarray(events["y"], np.float64)
+        p = np.asarray(events["polarity"], np.int32)
+    else:
+        t = np.asarray(events[:, 0], np.float64)
+        x = np.asarray(events[:, 1], np.float64)
+        y = 260.0 - np.asarray(events[:, 2], np.float64)
+        p = np.asarray(events[:, 3], np.int32)
+
+    if timespan is not None and len(t):
+        keep = (t - t.min()) < timespan
+        t, x, y, p = t[keep], x[keep], y[keep], p[keep]
+    if len(t) > max_events:
+        sel = np.sort(np.random.RandomState(0).choice(
+            len(t), max_events, replace=False))
+        t, x, y, p = t[sel], x[sel], y[sel], p[sel]
+
+    data = json.dumps({"t": t.tolist(), "x": x.tolist(),
+                       "y": y.tolist(), "p": p.astype(int).tolist()})
+    html = (_XYT_HTML_TEMPLATE
+            .replace("__TITLE__", title)
+            .replace("__DATA__", data))
+    with open(out_path, "w") as f:
+        f.write(html)
+    return out_path

@@ -134,6 +134,7 @@ def main(argv=None):
         lr_decay_rate=args.lr_decay_rate, lr_decay_min_lr=args.lr_decay_min_lr,
         batch_size=args.batch_size, max_epochs=args.max_epochs,
         seed=args.seed, loss="+".join(args.loss),
+        ef_type=args.ef_type, add_base_loss=args.add_base_loss,
     )
 
     train_ds = EventPackDataset("train", args.data_dir, seq_len=args.seq_len,

@@ -97,6 +97,8 @@ class TrainConfig:
     max_epochs: int = 100
     seed: int = 1234
     loss: str = "ef+pyramid"
+    ef_type: str = "c+cl"            # 'only_c' | 'cl' | 'c+cl'
+    add_base_loss: bool = False      # pyramid loss includes the unpooled MSE
     metrics: Tuple[str, ...] = (
         "BinaryMatch_raw",
         "BinaryMatch_sum_c",

@@ -147,6 +147,77 @@ class VideoReader:
     def reset(self):
         self._seek(0)
 
+    # -- sampling / export helpers (reference: video_reader.py:153-333) ----
+
+    def read_frame_at_index(self, index: int) -> Optional[np.ndarray]:
+        """Single frame at `index` (reference: video_reader.py:276-315)."""
+        if index != self._next_index:
+            self._seek(index)
+        frame = self._read_next()
+        return None if frame is None else self._convert(frame)
+
+    def read_middle_frame(self) -> Optional[np.ndarray]:
+        # reference: video_reader.py:272-274
+        return self.read_frame_at_index(self.frame_count // 2)
+
+    def read_frames(self, num_frames: int, jitter: int = 0,
+                    seed: Optional[int] = None) -> Optional[np.ndarray]:
+        """`num_frames` evenly spaced over the video, with optional index
+        jitter (reference: video_reader.py:153-182)."""
+        assert num_frames > 0
+        if self.frame_count <= 0:
+            return None
+        idxs = np.linspace(0, self.frame_count - 1, num_frames,
+                           endpoint=True, dtype=np.int64)
+        if jitter > 0:
+            rng = np.random.RandomState(seed)
+            idxs = np.clip(idxs + rng.randint(-jitter, jitter, len(idxs)),
+                           0, self.frame_count - 1)
+        return self.read_frames_at_indices(idxs)
+
+    def read_random_frames(self, num_frames: int,
+                           seed: Optional[int] = None) -> Optional[np.ndarray]:
+        """`num_frames` at sorted random indices
+        (reference: video_reader.py:209-224)."""
+        assert num_frames > 0
+        if self.frame_count <= 0:
+            return None
+        rng = np.random.RandomState(seed)
+        idxs = sorted(rng.choice(np.arange(self.frame_count), num_frames))
+        return self.read_frames_at_indices(idxs)
+
+    def read_all_frames(self) -> Optional[np.ndarray]:
+        # reference: video_reader.py:184-189
+        if self.frame_count <= 0:
+            return None
+        return self.read_frames_at_indices(range(self.frame_count))
+
+    def to_images(self, output_root: Optional[str] = None) -> Optional[str]:
+        """Dump every frame to `<output_root>/<n>.png`; default folder is
+        the video's stem next to it (reference: video_reader.py:191-207).
+        Streams sequentially (no per-frame seek). Returns the folder."""
+        import os
+        import os.path as op
+
+        if self.frame_count <= 0:
+            return None
+        if output_root is None:
+            stem = op.splitext(op.basename(self._path))[0]
+            output_root = op.join(op.dirname(self._path) or ".", stem)
+        os.makedirs(output_root, exist_ok=True)
+        self.reset()
+        count = 0
+        while True:
+            frame = self._read_next()
+            if frame is None:
+                break
+            out = self._convert(frame)
+            if self.color_mode == "RGB":
+                out = self._cv2.cvtColor(out, self._cv2.COLOR_RGB2BGR)
+            self._cv2.imwrite(op.join(output_root, f"{count}.png"), out)
+            count += 1
+        return output_root
+
     def close(self):
         if self.vidcap is not None:
             self.vidcap.release()

@@ -260,6 +260,8 @@ def compact_frame_events(
             # sort on TPU regardless of k). Whole blocks enter the pool;
             # non-multi slots are masked by the pool_extra > j guard below,
             # and multis beyond the pool's blocks surface in `dropped`.
+            # Blocks land in the pool in descending-score order, which the
+            # tiered slot sizing below relies on.
             vb = num_voxels // block
             block_score = extra.reshape(vb, block).max(axis=1)
             _, blk_idx = lax.top_k(block_score, pool // block)
@@ -270,13 +272,28 @@ def compact_frame_events(
         else:
             pool_extra, pool_idx = lax.top_k(extra, pool)
             pool_idx = pool_idx.astype(jnp.int32)
+
+        # Tiered slot sizing: slot j >= 1 is only usable by voxels with
+        # extra >= j, which get exponentially rarer with j, yet a flat
+        # (mepv-1) x pool candidate buffer dominates the kv-sort volume
+        # (2.03M of 3.65M slots at the bench config). The pool is ordered
+        # by (block-)extra descending, so the high-j slots only need a
+        # prefix of it: full size for j <= 3, then halving with a 4096
+        # floor. Any voxel whose extras exceed its tier surfaces in
+        # `dropped` via the emitted sum below — never silently.
+        def tier(j):
+            if j <= 3:
+                return pool
+            return min(pool, max(pool >> (j - 3), 4096))
+
         for j in range(1, max_events_per_voxel):
-            u = jax.random.uniform(jax.random.fold_in(key, j), (pool,))
-            ts_j = ts_fn(j, u, pool_idx)
-            key_parts.append(jnp.where(pool_extra >= j, ts_j, _INT32_MAX))
-            id_parts.append(pool_idx)
-        emitted = emitted + jnp.sum(jnp.minimum(pool_extra,
-                                                max_events_per_voxel - 1))
+            n_j = tier(j)
+            u = jax.random.uniform(jax.random.fold_in(key, j), (n_j,))
+            ts_j = ts_fn(j, u, pool_idx[:n_j])
+            valid_j = pool_extra[:n_j] >= j
+            key_parts.append(jnp.where(valid_j, ts_j, _INT32_MAX))
+            id_parts.append(pool_idx[:n_j])
+            emitted = emitted + jnp.sum(valid_j, dtype=jnp.int32)
 
     all_keys = jnp.concatenate(key_parts)
     all_ids = jnp.concatenate(id_parts)

@@ -165,6 +165,13 @@ def norm_l2(pred: jax.Array) -> jax.Array:
 # composition (reference: model_interface.py:154-343)
 # ---------------------------------------------------------------------------
 
+#: Complete set of composable loss names (reference:
+#: model_interface.py:345-368 — anything else raises 'Invalid loss type').
+KNOWN_LOSS_NAMES = frozenset({
+    "imu", "physical", "ef", "ef_splitp", "encoder", "pyramid", "pt",
+    "gan", "match", "compensation", "l1", "l2", "norml1", "norml2",
+})
+
 DEFAULT_ALPHAS: Dict[str, float] = {
     # reference: train/main.py:128-140
     "alpha_imu": 1.0,
@@ -190,13 +197,54 @@ def compose_losses(
     add_base_loss: bool = False,
     alphas: Dict[str, float] = DEFAULT_ALPHAS,
     gan_loss_value: jax.Array = None,
+    encoder_loss_fn=None,
+    pred_extras: Dict[str, jax.Array] = None,
+    batch: Dict[str, jax.Array] = None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Weighted sum of the configured voxel losses. GAN is handled by the
     training step (it owns a second optimizer) and its generator term is
-    passed in via `gan_loss_value`."""
+    passed in via `gan_loss_value`.
+
+    Multi-output model terms (reference: model_interface.py:162-184):
+    `pred_extras` carries the auxiliary model outputs ('imu' predictions,
+    'physical_atts' attention maps in channels-last (B, L, h', w', 1)) and
+    `batch` the matching targets ('imu', 'physical_att'). The physical-att
+    term is skipped when the model emits no attention maps, mirroring the
+    reference's `'physical_atts' in pred.keys()` gate; 'imu' requires both
+    sides and raises if absent (the reference KeyErrors there too).
+
+    Unknown loss names raise ValueError (reference:
+    model_interface.py:367-368).
+    """
+    unknown = set(loss_names) - KNOWN_LOSS_NAMES
+    if unknown:
+        raise ValueError(
+            f"Invalid loss type(s) {sorted(unknown)!r}; "
+            f"known: {sorted(KNOWN_LOSS_NAMES)}")
     a = {**DEFAULT_ALPHAS, **alphas}
+    pred_extras = pred_extras or {}
+    batch = batch or {}
     total = 0.0
     logs: Dict[str, jax.Array] = {}
+
+    if "imu" in loss_names:
+        # reference: model_interface.py:162-168
+        if "imu" not in pred_extras or "imu" not in batch:
+            raise ValueError(
+                "--loss imu needs a model emitting pred_extras['imu'] and a "
+                "batch carrying 'imu' targets")
+        v = _mse(pred_extras["imu"], batch["imu"])
+        total += a["alpha_imu"] * v
+        logs["imu_loss"] = v
+
+    if "physical" in loss_names and pred_extras.get("physical_atts"):
+        # reference: model_interface.py:171-184 — averaged MSE of each
+        # predicted attention stage against the single GT map.
+        gt_att = batch["physical_att"]
+        atts = pred_extras["physical_atts"]
+        v = sum(_mse(att, gt_att) for att in atts) / len(atts)
+        total += a["alpha_att"] * v
+        logs["att_loss"] = v
 
     ef_terms = []
     if "ef" in loss_names:
@@ -224,6 +272,15 @@ def compose_losses(
         v = pyramid_temporal_loss(pred, gt)
         total += a["alpha_pyramid"] * v
         logs["pt_loss"] = v
+    if "encoder" in loss_names:
+        # reference: model_interface.py:238-247 — frozen VoxelEncoder MSE.
+        if encoder_loss_fn is None:
+            raise ValueError(
+                "--loss encoder needs an EncoderLoss instance "
+                "(train.voxel_encoder.EncoderLoss) passed as encoder_loss_fn")
+        v = encoder_loss_fn(pred, gt)
+        total += a["alpha_encoder"] * v
+        logs["encoder_loss"] = v
     if "match" in loss_names:
         v = match_loss(pred, gt)
         total += a["alpha_match"] * v

@@ -34,6 +34,25 @@ from v2ce_toolbox_tpu.train.metrics import build_metric_suite
 from v2ce_toolbox_tpu.train.state import TrainState, make_optimizer
 
 
+def _split_pred(pred):
+    """Support multi-output models: a dict pred carries 'voxels' plus
+    auxiliary outputs ('imu', 'physical_atts'); a bare array is the voxels
+    (reference: train/scripts/model/v2ce_3d.py:27-32 returns a dict)."""
+    if isinstance(pred, dict):
+        return pred["voxels"], pred
+    return pred, {}
+
+
+def _maybe_encoder_loss(loss_names, encoder_loss_fn):
+    """Build a frozen EncoderLoss when '--loss encoder' is requested and the
+    caller supplied none (reference: model_interface.py:358-360)."""
+    if "encoder" in loss_names and encoder_loss_fn is None:
+        from v2ce_toolbox_tpu.train.voxel_encoder import EncoderLoss
+
+        encoder_loss_fn = EncoderLoss()
+    return encoder_loss_fn
+
+
 def make_train_step(
     model,
     cfg: TrainConfig,
@@ -44,17 +63,20 @@ def make_train_step(
     steps_per_epoch: int = 1000,
     mesh: Optional[Mesh] = None,
     donate: bool = True,
+    encoder_loss_fn=None,
 ):
     """Build train_step(state, batch) -> (state, logs).
 
-    batch: {'image_units': (B, L, H, W, 2), 'voxels': (B, L, H, W, 20)}.
-    When `mesh` is given the step is jitted with batch sharded over 'data'
-    and state replicated.
+    batch: {'image_units': (B, L, H, W, 2), 'voxels': (B, L, H, W, 20)},
+    plus optional 'imu' / 'physical_att' targets for models that emit the
+    matching auxiliary outputs. When `mesh` is given the step is jitted with
+    batch sharded over 'data' and state replicated.
     """
     loss_names = tuple(cfg.loss.split("+"))
     tx = make_optimizer(cfg, steps_per_epoch)
     disc_tx = make_disc_optimizer() if disc is not None else None
     use_gan = disc is not None and "gan" in loss_names
+    encoder_loss_fn = _maybe_encoder_loss(loss_names, encoder_loss_fn)
 
     def step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         gt = batch["voxels"]
@@ -67,6 +89,7 @@ def make_train_step(
                 state.model_variables(), batch["image_units"], train=True,
                 mutable=["batch_stats", "sn"],
             )
+            fake_voxels, _ = _split_pred(fake_voxels)
             disc_params, disc_opt_state, d_loss = discriminator_update(
                 disc, disc_params, disc_opt_state,
                 fake_voxels, gt, gan_k=gan_k, use_3d_conv=use_3d_disc,
@@ -80,12 +103,18 @@ def make_train_step(
                 variables, batch["image_units"], train=True,
                 mutable=["batch_stats", "sn"],
             )
+            pred, pred_extras = _split_pred(pred)
             gan_term = None
             if use_gan:
                 gan_term = generator_adversarial_loss(
                     disc, disc_params, pred, use_3d_conv=use_3d_disc)
             total, logs = compose_losses(pred, gt, loss_names,
-                                         gan_loss_value=gan_term)
+                                         ef_type=cfg.ef_type,
+                                         add_base_loss=cfg.add_base_loss,
+                                         gan_loss_value=gan_term,
+                                         encoder_loss_fn=encoder_loss_fn,
+                                         pred_extras=pred_extras,
+                                         batch=batch)
             return total, (new_model_state, logs)
 
         (loss, (new_model_state, logs)), grads = jax.value_and_grad(
@@ -126,16 +155,23 @@ def make_eval_step(
     metric_names: Sequence[str] = ("binarymatch", "binarymatchf1",
                                    "poolmse", "l1"),
     mesh: Optional[Mesh] = None,
+    encoder_loss_fn=None,
 ):
     """Build eval_step(state, batch) -> metrics dict (reference:
     model_interface.py:79-99 + calculate_metrics :136-152)."""
     suite = build_metric_suite(metric_names)
     loss_names = tuple(n for n in cfg.loss.split("+") if n != "gan")
+    encoder_loss_fn = _maybe_encoder_loss(loss_names, encoder_loss_fn)
 
     def step(state: TrainState, batch) -> Dict:
         pred = model.apply(state.model_variables(), batch["image_units"],
                            train=False)
-        loss, _ = compose_losses(pred, batch["voxels"], loss_names)
+        pred, pred_extras = _split_pred(pred)
+        loss, _ = compose_losses(pred, batch["voxels"], loss_names,
+                                 ef_type=cfg.ef_type,
+                                 add_base_loss=cfg.add_base_loss,
+                                 encoder_loss_fn=encoder_loss_fn,
+                                 pred_extras=pred_extras, batch=batch)
         out = {name: fn(pred, batch["voxels"]) for name, fn in suite.items()}
         out["val_loss"] = loss
         return out
