@@ -63,7 +63,14 @@ def main():
             max_events_per_voxel=scfg.max_events_per_voxel,
             capacity=scfg.event_capacity,
         )
-        return stream.count.sum()
+        # Consume EVERY stream field: returning only the count lets XLA
+        # dead-code-eliminate the timestamp sort entirely (discovered in
+        # round 2 — the round-1 number was measured sort-free).
+        return (stream.count.sum()
+                + (stream.t_us % 97).sum()
+                + stream.x.astype(jnp.int32).sum()
+                + stream.y.astype(jnp.int32).sum()
+                + stream.p.astype(jnp.int32).sum())
 
     n_iters = 20
 

@@ -1,0 +1,81 @@
+"""Tests for the roll-based Pallas stream compactor (ops/compact_pallas.py)
+— the sort/gather-free compaction primitive under the LDATI sampler."""
+
+import numpy as np
+import pytest
+
+from tests import conftest as _cf  # noqa: F401  (forces the CPU platform)
+
+
+def _ref_compact(row, cap, invalid):
+    valid = row[row != invalid]
+    return valid[:cap]
+
+
+@pytest.mark.parametrize("density", [0.0, 0.05, 0.5, 0.95, 1.0])
+def test_compact_rows_matches_reference(density):
+    import jax.numpy as jnp
+
+    from v2ce_toolbox_tpu.ops.compact_pallas import INVALID, compact_rows
+
+    rng = np.random.RandomState(int(density * 100))
+    r, n, chunk, cap = 4, 8 * 256, 256, 1024
+    keys = np.where(rng.rand(r, n) < density,
+                    rng.randint(0, 1 << 20, (r, n)), INVALID).astype(np.int32)
+    pay = rng.randint(0, 1 << 20, (r, n)).astype(np.int32)
+    pay = np.where(keys != INVALID, pay, 0)
+
+    out_keys, (out_pay,), kept, total = compact_rows(
+        jnp.asarray(keys), [jnp.asarray(pay)], cap=cap, chunk=chunk)
+    out_keys, out_pay = np.asarray(out_keys), np.asarray(out_pay)
+    kept, total = np.asarray(kept), np.asarray(total)
+
+    for i in range(r):
+        valid = keys[i][keys[i] != INVALID]
+        pv = pay[i][keys[i] != INVALID]
+        assert total[i] == len(valid)
+        k = kept[i]
+        assert k == min(len(valid), k)  # kept <= total
+        # kept events are a prefix of the valid sequence, in order
+        np.testing.assert_array_equal(out_keys[i][:k], valid[:k])
+        np.testing.assert_array_equal(out_pay[i][:k], pv[:k])
+        assert (out_keys[i][k:] == INVALID).all()
+        if len(valid) <= cap:
+            assert k == len(valid)     # nothing dropped below capacity
+
+
+def test_compact_rows_capacity_drop_exact():
+    """Over-capacity rows drop whole chunks, counted exactly."""
+    import jax.numpy as jnp
+
+    from v2ce_toolbox_tpu.ops.compact_pallas import INVALID, compact_rows
+
+    rng = np.random.RandomState(7)
+    r, n, chunk, cap = 2, 8 * 256, 256, 512       # cap = 2 chunks
+    keys = rng.randint(0, 1 << 20, (r, n)).astype(np.int32)  # fully dense
+
+    out_keys, _, kept, total = compact_rows(
+        jnp.asarray(keys), cap=cap, chunk=chunk)
+    assert (np.asarray(total) == n).all()
+    assert (np.asarray(kept) == cap).all()
+    np.testing.assert_array_equal(np.asarray(out_keys)[:, :cap],
+                                  keys[:, :cap])
+
+
+def test_compact_rows_no_payload_many_shapes():
+    import jax.numpy as jnp
+
+    from v2ce_toolbox_tpu.ops.compact_pallas import INVALID, compact_rows
+
+    rng = np.random.RandomState(3)
+    for r, n_chunks, chunk in [(1, 1, 256), (3, 5, 256), (2, 3, 512)]:
+        n = n_chunks * chunk
+        keys = np.where(rng.rand(r, n) < 0.3,
+                        rng.randint(0, 100, (r, n)), INVALID).astype(np.int32)
+        out, _, kept, total = compact_rows(jnp.asarray(keys),
+                                           cap=n, chunk=chunk)
+        for i in range(r):
+            valid = keys[i][keys[i] != INVALID]
+            assert int(kept[i]) == int(total[i]) == len(valid)
+            np.testing.assert_array_equal(np.asarray(out)[i][:len(valid)],
+                                          valid)

@@ -139,7 +139,18 @@ def probe_sampler():
     v = jnp.asarray((rng.rand(16, 2, 10, 260, 346) < 0.1).astype(np.float32)
                     * rng.rand(16, 2, 10, 260, 346).astype(np.float32) * 4)
 
-    def fn(args):
+    def fn_full(args):
+        vv, = args
+        s = sample_events(
+            vv, jax.random.key(0), fps=30,
+            additional_events_strategy=scfg.additional_events_strategy,
+            max_events_per_voxel=scfg.max_events_per_voxel,
+            capacity=scfg.event_capacity)
+        # consume EVERY output so XLA cannot dead-code-eliminate the sort
+        return (s.count, jnp.sum(s.t_us % 97), jnp.sum(s.x.astype(jnp.int32)),
+                jnp.sum(s.y.astype(jnp.int32)))
+
+    def fn_count(args):
         vv, = args
         s = sample_events(
             vv, jax.random.key(0), fps=30,
@@ -148,15 +159,19 @@ def probe_sampler():
             capacity=scfg.event_capacity)
         return s.count
 
-    dt = timed_loop(fn, (v,), n_iters=10)
-    print(f"sampler 16 frames: {dt*1e3:.2f} ms ({16/dt:.1f} fps)")
+    dt = timed_loop(fn_full, (v,), n_iters=10)
+    print(f"sampler 16 frames (full stream): {dt*1e3:.2f} ms ({16/dt:.1f} fps)",
+          flush=True)
+    dt = timed_loop(fn_count, (v,), n_iters=10)
+    print(f"sampler 16 frames (count only - sort DCE'd): {dt*1e3:.2f} ms",
+          flush=True)
 
 
 def probe_sort():
-    """Primitive costs at sampler scale: kv sort, batched row sort, top_k,
-    gather — per frame volumes, vmapped over 16 frames."""
+    """Primitive costs at sampler scale: kv sort, per-bin batched row sort,
+    top_k, gathers — (16, n) shapes like the per-frame vmapped sampler."""
     rng = np.random.RandomState(0)
-    for n in (1 << 18, 1 << 20, 2 << 20, 3 << 20):
+    for n in (9 * (1 << 14), 9 * (1 << 15), 9 * (1 << 17), 9 * 229376):
         keys = jnp.asarray(rng.randint(0, 1 << 30, (16, n), np.int32))
         vals = jnp.asarray(rng.randint(0, 1 << 20, (16, n), np.int32))
 
@@ -164,32 +179,46 @@ def probe_sort():
             kk, vv = args
             return lax.sort((kk, vv), dimension=1, num_keys=1)[0]
 
-        def k_sort(args):
-            kk, _ = args
-            return lax.sort(kk, dimension=1)
-
         def rows9(args):
             kk, _ = args
             return lax.sort(kk.reshape(16 * 9, n // 9), dimension=1)
 
-        def topk64(args):
+        def rows9_kv(args):
+            kk, vv = args
+            return lax.sort((kk.reshape(16 * 9, n // 9),
+                             vv.reshape(16 * 9, n // 9)),
+                            dimension=1, num_keys=1)[0]
+
+        def topk_blocks(args):
             kk, _ = args
-            return lax.top_k(kk, 1 << 16)[0]
+            return lax.top_k(kk.reshape(16, n // 16, 16).max(axis=2),
+                             1 << 12)[0]
 
         def gather64(args):
             kk, vv = args
             idx = jnp.abs(vv[:, :1 << 16]) % n
             return jnp.take_along_axis(kk, idx, axis=1)
 
-        for label, fn in [("kv_sort", kv_sort), ("key_sort", k_sort),
-                          ("rows9_sort", rows9), ("topk_64k", topk64),
-                          ("gather_64k", gather64)]:
+        def gather512(args):
+            kk, vv = args
+            idx = jnp.abs(vv[:, :1 << 19]) % n
+            return jnp.take_along_axis(kk, idx, axis=1)
+
+        for label, fn in [("kv_sort", kv_sort), ("rows9_sort", rows9),
+                          ("rows9_kv", rows9_kv),
+                          ("topk4k_of_blockmax", topk_blocks),
+                          ("gather_64k", gather64),
+                          ("gather_512k", gather512)]:
             def perturb(args, acc):
                 kk, vv = args
                 return (kk + (acc * 1e-12).astype(jnp.int32), vv)
-            dt = timed_loop(fn, (keys, vals), n_iters=10, perturb=perturb)
-            print(f"n={n>>20}.{(n>>10)&1023:03d}M x16 {label}: "
-                  f"{dt*1e3:.2f} ms  ({n*16/dt/1e9:.2f} Gelem/s)")
+            try:
+                dt = timed_loop(fn, (keys, vals), n_iters=10, perturb=perturb)
+                print(f"n={n/1e6:.2f}M x16 {label}: {dt*1e3:.2f} ms  "
+                      f"({n*16/dt/1e9:.2f} Gelem/s)", flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"n={n/1e6:.2f}M x16 {label}: FAILED "
+                      f"{type(e).__name__}", flush=True)
 
 
 PROBES = {
@@ -202,6 +231,101 @@ PROBES = {
     "sampler": probe_sampler,
     "sort": probe_sort,
 }
+
+
+
+
+def probe_pallas_conv():
+    """conv3d_3x3x3 (Pallas implicit GEMM) vs XLA conv on the model's
+    layer shapes."""
+    from v2ce_toolbox_tpu.ops.conv3d_pallas import conv3d_3x3x3
+
+    shapes = [
+        ("res_512", (1, 16, 17, 22, 512), 512),
+        ("dec0_conv1", (1, 16, 33, 44, 768), 256),
+        ("dec1_conv1", (1, 16, 65, 87, 384), 128),
+        ("dec2_conv1", (1, 16, 130, 173, 192), 64),
+        ("dec3_conv1", (1, 16, 260, 346, 96), 32),
+        ("enc1_conv2", (1, 16, 65, 87, 128), 128),
+        ("dec3_conv2", (1, 16, 260, 346, 32), 32),
+    ]
+    for name, xshape, cout in shapes:
+        cin = xshape[-1]
+        rng = np.random.RandomState(0)
+        xf = rng.rand(*xshape).astype(np.float32)
+        kf = rng.rand(3, 3, 3, cin, cout).astype(np.float32) * 0.01
+        flops = 2 * np.prod(xshape[:4]) * cin * cout * 27
+
+        for dt, label in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
+            x = jnp.asarray(xf).astype(dt)
+            k = jnp.asarray(kf).astype(dt)
+
+            def pallas_fn(args):
+                return conv3d_3x3x3(*args)
+
+            def xla_fn(args):
+                xx, kk = args
+                return lax.conv_general_dilated(
+                    xx, kk, (1, 1, 1), ((1, 1),) * 3,
+                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                    preferred_element_type=jnp.float32)
+
+            try:
+                # correctness spot check on device
+                diff = float(jnp.max(jnp.abs(
+                    pallas_fn((x, k)) - xla_fn((x, k)))))
+                scale = float(jnp.max(jnp.abs(xla_fn((x, k))))) + 1e-9
+                dt_p = timed_loop(pallas_fn, (x, k), n_iters=10)
+                dt_x = timed_loop(xla_fn, (x, k), n_iters=10)
+                print(f"{name} {label}: pallas {dt_p*1e3:.2f} ms "
+                      f"({flops/dt_p/1e12:.1f} TF/s) vs xla {dt_x*1e3:.2f} ms"
+                      f" ({flops/dt_x/1e12:.1f} TF/s); rel_err "
+                      f"{diff/scale:.2e}", flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"{name} {label}: FAILED {type(e).__name__}: {e}",
+                      flush=True)
+
+
+PROBES["pallas_conv"] = probe_pallas_conv
+
+
+
+
+def probe_compact():
+    """Roll-based Pallas compactor at sampler scale vs the sort it
+    replaces: 144 rows (16 frames x 9 bins) x 180k candidate slots."""
+    from v2ce_toolbox_tpu.ops.compact_pallas import INVALID, compact_rows
+
+    rng = np.random.RandomState(0)
+    r, n = 144, 181248          # 176.8k slots/bin-row, chunk-884 multiple
+    for density in (0.1, 0.3):
+        keys = np.where(rng.rand(r, n) < density,
+                        rng.randint(0, 1 << 30, (r, n)),
+                        INVALID).astype(np.int32)
+        keys_j = jnp.asarray(keys)
+
+        # on-device correctness spot check (2 rows)
+        out, _, kept, total = compact_rows(keys_j, cap=1 << 16, chunk=2048)
+        out_h, kept_h = np.asarray(out[:2]), np.asarray(kept[:2])
+        for i in range(2):
+            valid = keys[i][keys[i] != INVALID][:int(kept_h[i])]
+            assert (out_h[i][:len(valid)] == valid).all(), f"row {i} mismatch"
+
+        def fn(args):
+            kk, = args
+            o, _, k, t = compact_rows(kk, cap=1 << 16, chunk=2048)
+            return (o[:, ::127].astype(jnp.int64).sum(), k.sum(), t.sum())
+
+        def perturb(args, acc):
+            kk, = args
+            return (kk + (acc * 1e-12).astype(jnp.int32),)
+
+        dt = timed_loop(fn, (keys_j,), n_iters=10, perturb=perturb)
+        print(f"compact d={density}: {dt*1e3:.2f} ms for {r}x{n/1e3:.0f}k "
+              f"({r*n/dt/1e9:.2f} Gelem/s)", flush=True)
+
+
+PROBES["compact"] = probe_compact
 
 
 if __name__ == "__main__":

@@ -39,6 +39,17 @@ class ModelConfig:
     final_activation: str = "relu"
     # Compute dtype for conv FLOPs on TPU; params stay float32.
     compute_dtype: jnp.dtype = jnp.float32
+    # 'pallas' routes the 3x3x3 stride-1 convs (91% of forward FLOPs)
+    # through the implicit-GEMM Mosaic kernel (ops/conv3d_pallas.py);
+    # 'xla' is the lax.conv path. Training uses 'xla' (the Pallas kernel
+    # is forward-only — no custom VJP yet).
+    conv_impl: str = "xla"
+    # Exact algebraic rewrite of the decoder conv1/projection over
+    # concat(nearest_up2(x), skip): the upsampled branch is computed on
+    # the coarse grid with folded sub-pixel kernels (4/9 branch FLOPs,
+    # ~16% of the whole forward; ops/subpixel.py). Same parameters,
+    # float-reassociation-level differences only.
+    subpixel_decoder: bool = True
     # Rematerialize residual-block activations in the backward pass
     # (training memory saver; no effect on inference).
     remat: bool = False

@@ -163,6 +163,17 @@ def evaluate_samplers_on_frame(
     for name in samplers:
         if name == "ldati":
             rec = sample_voxel_statistical(v, fps=fps, key=key)[0]
+        elif name == "ldati_bidirectional":
+            # reference ablation flags (LDATI.py:107-123 bidirectional
+            # relocation; stage2 sweep contract stage2_metrics.py:256-266)
+            rec = sample_voxel_statistical(v, fps=fps, key=key,
+                                           bidirectional=True)[0]
+        elif name == "ldati_pool_avg":
+            rec = sample_voxel_statistical(v, fps=fps, key=key,
+                                           pooling_type="avg")[0]
+        elif name == "ldati_pool_weighted":
+            rec = sample_voxel_statistical(v, fps=fps, key=key,
+                                           pooling_type="weighted")[0]
         elif name == "random":
             rec = sample_voxel_baseline(v, fps=fps, random=True, key=key)[0]
         elif name == "even":

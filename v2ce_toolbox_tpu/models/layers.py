@@ -31,6 +31,35 @@ from flax import linen as nn
 Dtype = jnp.dtype
 
 
+def _apply_conv(x: jax.Array, kernel: jax.Array, strides, padding,
+                compute_dtype, conv_impl: str) -> jax.Array:
+    """Dispatch a conv to the Pallas implicit-GEMM kernel when it fits its
+    shape class (3x3x3, stride 1, 'same', 3D, >=16 input channels — the
+    model's hot layers, 91% of forward FLOPs; see ops/conv3d_pallas.py for
+    the measured rationale) else to XLA. Output is f32 either way."""
+    ndim_sp = kernel.ndim - 2
+    if (conv_impl == "pallas" and ndim_sp == 3
+            and kernel.shape[:3] == (3, 3, 3)
+            and tuple(strides) == (1, 1, 1)
+            and tuple(padding) == ((1, 1), (1, 1), (1, 1))
+            and x.shape[-1] >= 16):
+        from v2ce_toolbox_tpu.ops.conv3d_pallas import conv3d_3x3x3
+
+        return conv3d_3x3x3(x.astype(compute_dtype),
+                            kernel.astype(compute_dtype),
+                            out_dtype=jnp.float32)
+    dn_in = "N" + "DHW"[3 - ndim_sp:] + "C"
+    dn_k = "DHW"[3 - ndim_sp:] + "IO"
+    return jax.lax.conv_general_dilated(
+        x.astype(compute_dtype),
+        kernel.astype(compute_dtype),
+        window_strides=strides,
+        padding=list(padding),
+        dimension_numbers=(dn_in, dn_k, dn_in),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _l2normalize(v: jax.Array, eps: float = 1e-12) -> jax.Array:
     # reference: scripts/spectral_norm.py:5-6
     return v / (jnp.linalg.norm(v) + eps)
@@ -67,6 +96,7 @@ class SNConv(nn.Module):
     padding: Sequence[Tuple[int, int]]
     use_bias: bool = True
     compute_dtype: Dtype = jnp.float32
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -102,18 +132,10 @@ class SNConv(nn.Module):
             u_var.value = u
             v_var.value = v
 
-        kernel = (kernel_bar / sigma).astype(self.compute_dtype)
+        kernel = kernel_bar / sigma
 
-        dn_in = "N" + "DHW"[3 - ndim_sp:] + "C"
-        dn_k = "DHW"[3 - ndim_sp:] + "IO"
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.compute_dtype),
-            kernel,
-            window_strides=self.strides,
-            padding=list(self.padding),
-            dimension_numbers=(dn_in, dn_k, dn_in),
-            preferred_element_type=jnp.float32,
-        )
+        y = _apply_conv(x, kernel, self.strides, self.padding,
+                        self.compute_dtype, self.conv_impl)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias
@@ -129,23 +151,15 @@ class Conv(nn.Module):
     padding: Sequence[Tuple[int, int]]
     use_bias: bool = True
     compute_dtype: Dtype = jnp.float32
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         in_ch = x.shape[-1]
         kshape = (*self.kernel_size, in_ch, self.features)
         kernel = self.param("kernel", _kaiming_normal_conv_init(), kshape)
-        ndim_sp = len(self.kernel_size)
-        dn_in = "N" + "DHW"[3 - ndim_sp:] + "C"
-        dn_k = "DHW"[3 - ndim_sp:] + "IO"
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.compute_dtype),
-            kernel.astype(self.compute_dtype),
-            window_strides=self.strides,
-            padding=list(self.padding),
-            dimension_numbers=(dn_in, dn_k, dn_in),
-            preferred_element_type=jnp.float32,
-        )
+        y = _apply_conv(x, kernel, self.strides, self.padding,
+                        self.compute_dtype, self.conv_impl)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias
@@ -206,6 +220,7 @@ class ConvLayer3D(nn.Module):
     norm: Optional[str] = None
     sn: bool = False
     compute_dtype: Dtype = jnp.float32
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -214,7 +229,8 @@ class ConvLayer3D(nn.Module):
         pad = ((self.padding, self.padding),) * 3
         conv_cls = SNConv if self.sn else Conv
         kw = dict(features=self.features, kernel_size=k, strides=self.stride,
-                  padding=pad, use_bias=use_bias, compute_dtype=self.compute_dtype)
+                  padding=pad, use_bias=use_bias, compute_dtype=self.compute_dtype,
+                  conv_impl=self.conv_impl)
         out = conv_cls(name="conv", **kw)(x)
         if self.norm == "BN":
             # reference: submodules.py:111 — BatchNorm3d(momentum=0.01)
@@ -235,6 +251,7 @@ class ResidualBlock3D(nn.Module):
     norm: Optional[str] = None
     sn: bool = False
     compute_dtype: Dtype = jnp.float32
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -245,14 +262,16 @@ class ResidualBlock3D(nn.Module):
 
         out = conv_cls(name="conv1", features=self.features, kernel_size=(3, 3, 3),
                        strides=self.stride, padding=pad1, use_bias=use_bias,
-                       compute_dtype=self.compute_dtype)(x)
+                       compute_dtype=self.compute_dtype,
+                       conv_impl=self.conv_impl)(x)
         if self.norm in ("BN", "IN"):
             out = BatchNorm(name="bn1",
                             compute_dtype=self.compute_dtype)(out, train=train)
         out = jax.nn.relu(out)
         out = conv_cls(name="conv2", features=self.features, kernel_size=(3, 3, 3),
                        strides=(1, 1, 1), padding=pad1, use_bias=use_bias,
-                       compute_dtype=self.compute_dtype)(out)
+                       compute_dtype=self.compute_dtype,
+                       conv_impl=self.conv_impl)(out)
         if self.norm in ("BN", "IN"):
             out = BatchNorm(name="bn2",
                             compute_dtype=self.compute_dtype)(out, train=train)
@@ -270,6 +289,139 @@ class ResidualBlock3D(nn.Module):
         residual = BatchNorm(name="downsample_bn",
                              compute_dtype=self.compute_dtype)(residual,
                                                                train=train)
+
+        return jax.nn.relu(out + residual)
+
+
+class _SNKernel(nn.Module):
+    """Parameter-compatible twin of SNConv that RETURNS the spectrally
+    normalized kernel instead of applying it (same param/variable names:
+    kernel_bar + sn/{u,v}, same one-power-iteration semantics), for blocks
+    that apply the kernel through a custom algebraic path
+    (DecoderResidualBlock3D's sub-pixel split)."""
+
+    features: int
+    kernel_size: Tuple[int, ...]
+    in_channels: int
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        in_ch = self.in_channels
+        kshape = (*self.kernel_size, in_ch, self.features)
+        kernel_bar = self.param("kernel_bar", _kaiming_normal_conv_init(),
+                                kshape)
+        out_dim = self.features
+        flat_dim = in_ch * math.prod(self.kernel_size)
+        u_var = self.variable(
+            "sn", "u",
+            lambda: _l2normalize(jax.random.normal(
+                self.make_rng("params") if self.has_rng("params")
+                else jax.random.key(0), (out_dim,))))
+        v_var = self.variable(
+            "sn", "v",
+            lambda: _l2normalize(jax.random.normal(
+                self.make_rng("params") if self.has_rng("params")
+                else jax.random.key(1), (flat_dim,))))
+
+        ndim_sp = len(self.kernel_size)
+        perm = (ndim_sp + 1, ndim_sp) + tuple(range(ndim_sp))
+        w2d = jnp.transpose(kernel_bar, perm).reshape(out_dim, flat_dim)
+        w2d = w2d.astype(jnp.float32)
+        v = _l2normalize(w2d.T @ u_var.value)
+        u = _l2normalize(w2d @ v)
+        sigma = u @ (w2d @ v)
+        if not self.is_initializing() and self.is_mutable_collection("sn"):
+            u_var.value = u
+            v_var.value = v
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        return kernel_bar / sigma, bias
+
+
+class _ConvKernel(nn.Module):
+    """Parameter-compatible twin of Conv returning (kernel, bias)."""
+
+    features: int
+    kernel_size: Tuple[int, ...]
+    in_channels: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kshape = (*self.kernel_size, self.in_channels, self.features)
+        kernel = self.param("kernel", _kaiming_normal_conv_init(), kshape)
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        return kernel, bias
+
+
+class DecoderResidualBlock3D(nn.Module):
+    """ResidualBlock3D over concat(nearest_up2(coarse), skip), computed
+    WITHOUT materializing the upsampled tensor: conv1 and the projection
+    split across the concat (conv distributes over channel concat) and
+    their upsampled-branch halves run on the coarse grid with folded
+    sub-pixel kernels — 4/9 the FLOPs of that branch, exact to float
+    reassociation (ops/subpixel.py). Parameter tree is identical to
+    ResidualBlock3D on the concat input, so converted reference weights
+    (scripts/unet_2layer.py:355-371 decoders) load unchanged."""
+
+    features: int
+    norm: Optional[str] = None
+    sn: bool = False
+    compute_dtype: Dtype = jnp.float32
+    conv_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, coarse: jax.Array, skip: jax.Array,
+                 train: bool = False) -> jax.Array:
+        from v2ce_toolbox_tpu.ops.subpixel import (
+            conv1x1_on_nearest_up2,
+            conv3d_on_nearest_up2,
+        )
+
+        up_c = coarse.shape[-1]
+        in_ch = up_c + skip.shape[-1]
+        target_hw = (skip.shape[2], skip.shape[3])
+        use_bias = self.norm != "BN"
+        cd = self.compute_dtype
+
+        kernel_cls = _SNKernel if self.sn else _ConvKernel
+        k1, bias1 = kernel_cls(name="conv1", features=self.features,
+                               kernel_size=(3, 3, 3), in_channels=in_ch,
+                               use_bias=use_bias)()
+        k1 = k1.astype(cd)
+        out = conv3d_on_nearest_up2(coarse.astype(cd), k1[..., :up_c, :],
+                                    target_hw)
+        out = out + _apply_conv(skip, k1[..., up_c:, :], (1, 1, 1),
+                                ((1, 1),) * 3, cd, self.conv_impl)
+        if use_bias:
+            out = out + bias1
+        if self.norm in ("BN", "IN"):
+            out = BatchNorm(name="bn1", compute_dtype=cd)(out, train=train)
+        out = jax.nn.relu(out)
+
+        conv_cls = SNConv if self.sn else Conv
+        out = conv_cls(name="conv2", features=self.features,
+                       kernel_size=(3, 3, 3), strides=(1, 1, 1),
+                       padding=((1, 1),) * 3, use_bias=use_bias,
+                       compute_dtype=cd, conv_impl=self.conv_impl)(out)
+        if self.norm in ("BN", "IN"):
+            out = BatchNorm(name="bn2", compute_dtype=cd)(out, train=train)
+
+        kd, bias_d = _ConvKernel(name="downsample_conv",
+                                 features=self.features,
+                                 kernel_size=(1, 1, 1), in_channels=in_ch,
+                                 use_bias=True)()
+        kd = kd.astype(cd)
+        residual = conv1x1_on_nearest_up2(coarse.astype(cd),
+                                          kd[..., :up_c, :], target_hw)
+        residual = residual + jax.lax.conv_general_dilated(
+            skip.astype(cd), kd[..., up_c:, :], (1, 1, 1), ((0, 0),) * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.float32) + bias_d
+        residual = BatchNorm(name="downsample_bn",
+                             compute_dtype=cd)(residual, train=train)
 
         return jax.nn.relu(out + residual)
 

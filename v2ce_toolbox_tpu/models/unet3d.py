@@ -24,6 +24,7 @@ from flax import linen as nn
 
 from v2ce_toolbox_tpu.models.layers import (
     ConvLayer3D,
+    DecoderResidualBlock3D,
     ResidualBlock3D,
     upsample_nearest_to,
 )
@@ -41,10 +42,13 @@ class UNet3D(nn.Module):
     sn: bool = True
     compute_dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    conv_impl: str = "xla"
+    subpixel_decoder: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         cd = self.compute_dtype
+        ci = self.conv_impl
         base = self.base_num_channels
         max_ch = base * (2 ** self.num_encoders)
 
@@ -65,15 +69,29 @@ class UNet3D(nn.Module):
             x = Block(name=f"encoder_{i}",
                       features=base * (2 ** (i + 1)),
                       stride=(1, 2, 2), norm=self.norm, sn=False,
-                      compute_dtype=cd)(x, train)
+                      compute_dtype=cd, conv_impl=ci)(x, train)
 
         for i in range(self.num_residual_blocks):
             x = Block(name=f"resblock_{i}", features=max_ch,
                       stride=(1, 1, 1), norm=self.norm, sn=self.sn,
-                      compute_dtype=cd)(x, train)
+                      compute_dtype=cd, conv_impl=ci)(x, train)
 
+        DecBlock = (nn.remat(DecoderResidualBlock3D, static_argnums=(3,))
+                    if self.remat else DecoderResidualBlock3D)
         for i, skip in enumerate(reversed(skips)):
-            x = upsample_nearest_to(x, (skip.shape[2], skip.shape[3]))
+            th, tw = skip.shape[2], skip.shape[3]
+            if (self.subpixel_decoder and self.skip_type == "concat"
+                    and th in (2 * x.shape[2], 2 * x.shape[2] - 1)
+                    and tw in (2 * x.shape[3], 2 * x.shape[3] - 1)):
+                # sub-pixel decoder: conv1/projection computed on the
+                # coarse grid (exact rewrite, 4/9 FLOPs on the upsampled
+                # branch); parameter tree identical to the concat block
+                x = DecBlock(name=f"decoder_{i}",
+                             features=max_ch // (2 ** (i + 1)),
+                             norm=self.norm, sn=self.sn,
+                             compute_dtype=cd, conv_impl=ci)(x, skip, train)
+                continue
+            x = upsample_nearest_to(x, (th, tw))
             if self.skip_type == "concat":
                 x = jnp.concatenate([x, skip], axis=-1)
             else:
@@ -81,7 +99,7 @@ class UNet3D(nn.Module):
             x = Block(name=f"decoder_{i}",
                       features=max_ch // (2 ** (i + 1)),
                       stride=(1, 1, 1), norm=self.norm, sn=self.sn,
-                      compute_dtype=cd)(x, train)
+                      compute_dtype=cd, conv_impl=ci)(x, train)
 
         x = ConvLayer3D(name="pred", features=self.num_output_channels,
                         kernel_size=1, stride=(1, 1, 1), padding=0,

@@ -40,6 +40,8 @@ class V2ce3d(nn.Module):
             sn=cfg.spectral_norm,
             compute_dtype=cfg.compute_dtype,
             remat=cfg.remat,
+            conv_impl=cfg.conv_impl,
+            subpixel_decoder=cfg.subpixel_decoder,
         )(x, train=train)
 
 
