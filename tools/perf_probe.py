@@ -49,12 +49,14 @@ def timed_loop(fn, args, n_iters=20, perturb=None):
     return dt
 
 
-def probe_model(compute_dtype=jnp.float32, pad_to=None, label="model"):
+def probe_model(compute_dtype=jnp.float32, pad_to=None, label="model",
+                **cfg_kw):
     from v2ce_toolbox_tpu.config import ModelConfig
     from v2ce_toolbox_tpu.models import V2ce3d
 
     h, w = 260, 346
-    model = V2ce3d(config=ModelConfig(compute_dtype=compute_dtype))
+    model = V2ce3d(config=ModelConfig(compute_dtype=compute_dtype,
+                                      **cfg_kw))
     x = jnp.asarray(np.random.RandomState(0)
                     .rand(1, 16, h, w, 2).astype(np.float32))
     variables = model.init(jax.random.key(0), x[:, :3], train=False)
@@ -287,6 +289,12 @@ def probe_pallas_conv():
 
 
 PROBES["pallas_conv"] = probe_pallas_conv
+PROBES["model_pallas_bf16"] = lambda: probe_model(
+    jnp.bfloat16, label="model_pallas_bf16", conv_impl="pallas")
+PROBES["model_pallas"] = lambda: probe_model(
+    label="model_pallas_f32", conv_impl="pallas")
+PROBES["model_subpixel"] = lambda: probe_model(
+    label="model_subpixel", subpixel_decoder=True)
 
 
 
@@ -297,7 +305,7 @@ def probe_compact():
     from v2ce_toolbox_tpu.ops.compact_pallas import INVALID, compact_rows
 
     rng = np.random.RandomState(0)
-    r, n = 144, 181248          # 176.8k slots/bin-row, chunk-884 multiple
+    r, n = 144, 2048 * 89       # ~180k slots per bin-row
     for density in (0.1, 0.3):
         keys = np.where(rng.rand(r, n) < density,
                         rng.randint(0, 1 << 30, (r, n)),
@@ -311,21 +319,105 @@ def probe_compact():
             valid = keys[i][keys[i] != INVALID][:int(kept_h[i])]
             assert (out_h[i][:len(valid)] == valid).all(), f"row {i} mismatch"
 
-        def fn(args):
-            kk, = args
-            o, _, k, t = compact_rows(kk, cap=1 << 16, chunk=2048)
-            return (o[:, ::127].astype(jnp.int64).sum(), k.sum(), t.sum())
-
         def perturb(args, acc):
             kk, = args
             return (kk + (acc * 1e-12).astype(jnp.int32),)
 
-        dt = timed_loop(fn, (keys_j,), n_iters=10, perturb=perturb)
-        print(f"compact d={density}: {dt*1e3:.2f} ms for {r}x{n/1e3:.0f}k "
-              f"({r*n/dt/1e9:.2f} Gelem/s)", flush=True)
+        for ch in (2048, 4096, 8192):
+            def fn(args, ch=ch):
+                kk, = args
+                o, _, k, t = compact_rows(kk, cap=1 << 16, chunk=ch)
+                return (o[:, ::127].astype(jnp.int64).sum(), k.sum(),
+                        t.sum())
+
+            try:
+                dt = timed_loop(fn, (keys_j,), n_iters=10, perturb=perturb)
+                print(f"compact d={density} chunk={ch}: {dt*1e3:.2f} ms "
+                      f"({r*n/dt/1e9:.2f} Gelem/s)", flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"compact d={density} chunk={ch}: FAILED "
+                      f"{type(e).__name__}", flush=True)
 
 
 PROBES["compact"] = probe_compact
+
+
+
+
+def probe_sampler_phases():
+    """Decompose the v3 sampler's remaining cost: generation (relocate +
+    slope + packing), chain compaction, the per-bin sort, and the frame
+    merge, each timed as an isolated jit."""
+    from v2ce_toolbox_tpu.ops.compact_pallas import INVALID, compact_rows
+    from v2ce_toolbox_tpu.ops.ldati import (
+        frame_order_voxels, relocate_counts, slope_params)
+
+    rng = np.random.RandomState(0)
+    f, p, c, h, w = 16, 2, 10, 260, 346
+    cb, seg = c - 1, p * h * w
+    v = jnp.asarray((rng.rand(f, p, c, h, w) < 0.1).astype(np.float32)
+                    * rng.rand(f, p, c, h, w).astype(np.float32) * 4)
+
+    def gen(args):
+        vv, = args
+        y = vv.reshape(f * p, c, h, w)
+        counts, tendency = relocate_counts(y)
+        k, b = slope_params(counts.astype(jnp.float32), 30)
+        rel = (tendency * 3703).astype(jnp.int32)
+        emit = jnp.minimum(counts, 32)
+        rel_f = frame_order_voxels(rel, f, p, cb, h, w).reshape(f, cb, seg)
+        emit_f = frame_order_voxels(emit, f, p, cb, h, w).reshape(f, cb, seg)
+        vox = lax.broadcasted_iota(jnp.int32, (f, cb, seg), 2)
+        keys = jnp.where(emit_f > 0, (rel_f << 18) | vox, INVALID)
+        return keys.sum(), k.sum()
+
+    dt = timed_loop(gen, (v,), n_iters=10)
+    print(f"phase gen(relocate+slope+pack): {dt*1e3:.2f} ms", flush=True)
+
+    keys0 = np.where(rng.rand(f * cb, seg) < 0.15,
+                     rng.randint(0, 1 << 30, (f * cb, seg)),
+                     INVALID).astype(np.int32)
+    kx = rng.randint(0, 1 << 30, (f * cb, seg)).astype(np.int32)
+
+    def perturb(args, acc):
+        return tuple(a + (acc * 1e-12).astype(jnp.int32) if a.dtype == jnp.int32
+                     else a for a in args)
+
+    def chain(args):
+        kk, px = args
+        o, (op,), kc, t = compact_rows(kk, [px], cap=1 << 15, chunk=8192)
+        return o[:, ::255].astype(jnp.int64).sum(), kc.sum()
+
+    dt = timed_loop(chain, (jnp.asarray(keys0), jnp.asarray(kx)),
+                    n_iters=10, perturb=perturb)
+    print(f"phase chain compaction (1 payload): {dt*1e3:.2f} ms", flush=True)
+
+    sort_in = jnp.asarray(rng.randint(0, 1 << 30, (f * cb, 55296), np.int32))
+
+    def srt(args):
+        kk, = args
+        return lax.sort(kk, dimension=1)
+
+    dt = timed_loop(srt, (sort_in,), n_iters=10, perturb=perturb)
+    print(f"phase per-bin sort (144x55k): {dt*1e3:.2f} ms", flush=True)
+
+    merge_in = jnp.asarray(np.where(
+        rng.rand(f, cb * 55296) < 0.3,
+        rng.randint(0, 1 << 30, (f, cb * 55296)), INVALID).astype(np.int32))
+    merge_px = jnp.asarray(rng.randint(0, 1 << 20, (f, cb * 55296),
+                                       np.int32))
+
+    def merge(args):
+        kk, px = args
+        o, (op,), kc, t = compact_rows(kk, [px], cap=1 << 19, chunk=8192)
+        return o[:, ::255].astype(jnp.int64).sum(), kc.sum()
+
+    dt = timed_loop(merge, (merge_in, merge_px), n_iters=10, perturb=perturb)
+    print(f"phase frame merge (16x498k, 1 payload): {dt*1e3:.2f} ms",
+          flush=True)
+
+
+PROBES["sampler_phases"] = probe_sampler_phases
 
 
 if __name__ == "__main__":

@@ -48,8 +48,11 @@ class ModelConfig:
     # concat(nearest_up2(x), skip): the upsampled branch is computed on
     # the coarse grid with folded sub-pixel kernels (4/9 branch FLOPs,
     # ~16% of the whole forward; ops/subpixel.py). Same parameters,
-    # float-reassociation-level differences only.
-    subpixel_decoder: bool = True
+    # float-reassociation-level differences only. Default OFF: measured
+    # 78 ms vs 51 ms per window on v5e — XLA lowers the small folded
+    # (3,2,2) convs + parity interleave worse than one big conv despite
+    # the FLOP cut (tools/perf_probe.py model, round 2).
+    subpixel_decoder: bool = False
     # Rematerialize residual-block activations in the backward pass
     # (training memory saver; no effect on inference).
     remat: bool = False

@@ -43,7 +43,7 @@ class UNet3D(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
     remat: bool = False
     conv_impl: str = "xla"
-    subpixel_decoder: bool = True
+    subpixel_decoder: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:

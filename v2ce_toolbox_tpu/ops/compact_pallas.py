@@ -18,9 +18,9 @@ VECTOR ROLLS instead:
      invalid separates them, and delta_i <= i keeps every move in-bounds
      (validated exhaustively in tests/test_compact.py);
   3. when the window holds >= chunk valids, its first chunk is DMA'd to
-     the next chunk-aligned output slot (so every DMA is tile-aligned and
-     non-overlapping) and the second half becomes the new carry; the last
-     step flushes the remainder.
+     the next chunk-aligned output slot (so every DMA is a whole
+     (S, 128) tile — aligned and non-overlapping) and the second half
+     becomes the new carry; the last step flushes the remainder.
 
 Cost: ~45 vector ops per 2048-element chunk ~= 25x less VPU work than a
 bitonic sort of the same volume, no gathers, no scatters.
@@ -117,10 +117,10 @@ def _front_pack(key, pays, lane, flat, window):
 def _compact_kernel(keys_ref, *rest, chunk, n_chunks, cap_chunks,
                     n_payloads):
     payload_refs = rest[:n_payloads]
-    kept_ref, total_ref, out_keys = rest[n_payloads:n_payloads + 3]
-    out_payloads = rest[n_payloads + 3:n_payloads + 3 + n_payloads]
-    carry = rest[n_payloads + 3 + n_payloads]       # VMEM (1+P, chunk)
-    send = rest[n_payloads + 4 + n_payloads]        # VMEM (1+P, chunk)
+    out_keys = rest[n_payloads]
+    out_payloads = rest[n_payloads + 1:n_payloads + 1 + n_payloads]
+    carry = rest[n_payloads + 1 + n_payloads]    # VMEM (1+P, S, 128)
+    send = rest[n_payloads + 2 + n_payloads]     # VMEM (1+P, S, 128)
     state = rest[-2]            # SMEM: [pend, cidx, total, kept]
     sem = rest[-1]
 
@@ -142,13 +142,9 @@ def _compact_kernel(keys_ref, *rest, chunk, n_chunks, cap_chunks,
     flat = (jax.lax.broadcasted_iota(jnp.int32, (sw, _LANES), 0) * _LANES
             + lane)
 
-    key = jnp.concatenate(
-        [carry[0:1].reshape(sc, _LANES), keys_ref[0:1].reshape(sc, _LANES)],
-        axis=0)
-    pays = [jnp.concatenate(
-        [carry[1 + i:2 + i].reshape(sc, _LANES),
-         payload_refs[i][0:1].reshape(sc, _LANES)], axis=0)
-        for i in range(n_payloads)]
+    key = jnp.concatenate([carry[0], keys_ref[0, 0]], axis=0)
+    pays = [jnp.concatenate([carry[1 + i], payload_refs[i][0, 0]], axis=0)
+            for i in range(n_payloads)]
 
     key, pays, cnt = _front_pack(key, pays, lane, flat, window)
     # cnt counts ALL window valids, i.e. carried pend + new arrivals
@@ -162,17 +158,15 @@ def _compact_kernel(keys_ref, *rest, chunk, n_chunks, cap_chunks,
     @pl.when(emit_full)
     def _():
         # window holds >= chunk valids, so its first chunk is all-valid
-        send[0:1] = key[:sc].reshape(1, chunk)
+        send[0] = key[:sc]
         for i in range(n_payloads):
-            send[1 + i:2 + i] = pays[i][:sc].reshape(1, chunk)
-        copy = pltpu.make_async_copy(
-            send.at[0], out_keys.at[r, pl.ds(cidx * chunk, chunk)], sem)
+            send[1 + i] = pays[i][:sc]
+        copy = pltpu.make_async_copy(send.at[0], out_keys.at[r, cidx], sem)
         copy.start()
         copy.wait()
         for i in range(n_payloads):
             copy = pltpu.make_async_copy(
-                send.at[1 + i],
-                out_payloads[i].at[r, pl.ds(cidx * chunk, chunk)], sem)
+                send.at[1 + i], out_payloads[i].at[r, cidx], sem)
             copy.start()
             copy.wait()
         state[1] = cidx + 1
@@ -182,10 +176,9 @@ def _compact_kernel(keys_ref, *rest, chunk, n_chunks, cap_chunks,
     # dropped at capacity — the drop is exact via total - kept), else the
     # front-packed first half (total < chunk fits entirely there)
     popped = total >= chunk
-    carry[0:1] = jnp.where(popped, key[sc:], key[:sc]).reshape(1, chunk)
+    carry[0] = jnp.where(popped, key[sc:], key[:sc])
     for i in range(n_payloads):
-        carry[1 + i:2 + i] = jnp.where(popped, pays[i][sc:],
-                                       pays[i][:sc]).reshape(1, chunk)
+        carry[1 + i] = jnp.where(popped, pays[i][sc:], pays[i][:sc])
     state[0] = jnp.where(popped, total - chunk, total)
 
     @pl.when(ci == n_chunks - 1)
@@ -195,21 +188,29 @@ def _compact_kernel(keys_ref, *rest, chunk, n_chunks, cap_chunks,
 
         @pl.when((state[0] > 0) & (cidx2 < cap_chunks))
         def _():
-            copy = pltpu.make_async_copy(
-                carry.at[0], out_keys.at[r, pl.ds(cidx2 * chunk, chunk)],
-                sem)
+            copy = pltpu.make_async_copy(carry.at[0],
+                                         out_keys.at[r, cidx2], sem)
             copy.start()
             copy.wait()
             for i in range(n_payloads):
                 copy = pltpu.make_async_copy(
-                    carry.at[1 + i],
-                    out_payloads[i].at[r, pl.ds(cidx2 * chunk, chunk)], sem)
+                    carry.at[1 + i], out_payloads[i].at[r, cidx2], sem)
                 copy.start()
                 copy.wait()
             state[3] = state[3] + state[0]
 
-    kept_ref[0, 0] = state[3]
-    total_ref[0, 0] = state[2]
+        # counts ride in a dedicated trailing chunk slot of the keys
+        # output (TPU-aligned SMEM/VMEM per-row blocks are not
+        # expressible): lane 0 = kept, lane 1 = total
+        lane0 = jax.lax.broadcasted_iota(
+            jnp.int32, (chunk // _LANES, _LANES), 1)
+        counts_tile = jnp.where(
+            lane0 == 0, state[3], jnp.where(lane0 == 1, state[2], 0))
+        send[0] = counts_tile
+        copy = pltpu.make_async_copy(send.at[0],
+                                     out_keys.at[r, cap_chunks], sem)
+        copy.start()
+        copy.wait()
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "chunk"))
@@ -231,29 +232,33 @@ def compact_rows(keys: jax.Array, payloads: Sequence[jax.Array] = (),
     """
     r, n = keys.shape
     payloads = tuple(payloads)
-    assert n % chunk == 0 and chunk % _LANES == 0, (n, chunk)
+    assert chunk % _LANES == 0, chunk
+    if n % chunk:
+        pad = chunk - n % chunk
+        keys = jnp.pad(keys, ((0, 0), (0, pad)), constant_values=INVALID)
+        payloads = tuple(jnp.pad(p, ((0, 0), (0, pad))) for p in payloads)
+        n += pad
     n_chunks = n // chunk
     n_pay = len(payloads)
     cap_chunks = -(-cap // chunk)
     cap_pad = cap_chunks * chunk
+    sc = chunk // _LANES
+
+    def shape4(a):
+        return a.reshape(r, n_chunks, sc, _LANES)
 
     interpret = jax.default_backend() != "tpu"
-    in_specs = [pl.BlockSpec((1, chunk), lambda ri, ci: (ri, ci),
+    in_specs = [pl.BlockSpec((1, 1, sc, _LANES),
+                             lambda ri, ci: (ri, ci, 0, 0),
                              memory_space=pltpu.VMEM)
                 for _ in range(1 + n_pay)]
     out_shapes = (
-        [jax.ShapeDtypeStruct((r, 1), jnp.int32),        # kept
-         jax.ShapeDtypeStruct((r, 1), jnp.int32),        # total
-         jax.ShapeDtypeStruct((r, cap_pad), jnp.int32)]  # keys
-        + [jax.ShapeDtypeStruct((r, cap_pad), jnp.int32)
+        [jax.ShapeDtypeStruct((r, cap_chunks + 1, sc, _LANES), jnp.int32)]
+        + [jax.ShapeDtypeStruct((r, cap_chunks, sc, _LANES), jnp.int32)
            for _ in range(n_pay)])
-    out_specs = (
-        [pl.BlockSpec((1, 1), lambda ri, ci: (ri, 0),
-                      memory_space=pltpu.SMEM),
-         pl.BlockSpec((1, 1), lambda ri, ci: (ri, 0),
-                      memory_space=pltpu.SMEM),
-         pl.BlockSpec(memory_space=pltpu.ANY)]
-        + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(n_pay)])
+    out_specs = ([pl.BlockSpec(memory_space=pltpu.ANY)]
+                 + [pl.BlockSpec(memory_space=pltpu.ANY)
+                    for _ in range(n_pay)])
 
     outs = pl.pallas_call(
         functools.partial(_compact_kernel, chunk=chunk, n_chunks=n_chunks,
@@ -263,8 +268,8 @@ def compact_rows(keys: jax.Array, payloads: Sequence[jax.Array] = (),
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((1 + n_pay, chunk), jnp.int32),   # carry
-            pltpu.VMEM((1 + n_pay, chunk), jnp.int32),   # send staging
+            pltpu.VMEM((1 + n_pay, sc, _LANES), jnp.int32),   # carry
+            pltpu.VMEM((1 + n_pay, sc, _LANES), jnp.int32),   # send
             pltpu.SMEM((4,), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
@@ -272,12 +277,15 @@ def compact_rows(keys: jax.Array, payloads: Sequence[jax.Array] = (),
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(keys, *payloads)
+    )(shape4(keys), *[shape4(p) for p in payloads])
 
-    kept = outs[0][:, 0]
-    total = outs[1][:, 0]
+    keys_and_counts = outs[0]
+    kept = keys_and_counts[:, cap_chunks, 0, 0]
+    total = keys_and_counts[:, cap_chunks, 0, 1]
     idx = jax.lax.broadcasted_iota(jnp.int32, (r, cap_pad), 1)
     mask = idx < kept[:, None]
-    out_keys = jnp.where(mask, outs[2], INVALID)
-    out_pays = tuple(jnp.where(mask, o, 0) for o in outs[3:3 + n_pay])
+    out_keys = jnp.where(
+        mask, keys_and_counts[:, :cap_chunks].reshape(r, cap_pad), INVALID)
+    out_pays = tuple(jnp.where(mask, o.reshape(r, cap_pad), 0)
+                     for o in outs[1:1 + n_pay])
     return out_keys, out_pays, kept, total

@@ -120,8 +120,11 @@ def conv3d_3x3x3(x: jax.Array, k: jax.Array,
     b, l, h, w, c = x.shape
     co = k.shape[-1]
     out_itemsize = jnp.dtype(out_dtype).itemsize
+    # input channels padded to a lane-tile multiple: the manual slab DMA
+    # slices the lane dim in full, and Mosaic requires 128-aligned slices
+    cp = -(-c // 128) * 128
     wp_out = -(-w // 16) * 16          # sublane-tile aligned kernel width
-    l_t, th, co_t = _pick_tiles(l, h, wp_out, c, co,
+    l_t, th, co_t = _pick_tiles(l, h, wp_out, cp, co,
                                 x.dtype.itemsize, out_itemsize)
     hp = -h % th
     n_ht = (h + hp) // th
@@ -129,14 +132,14 @@ def conv3d_3x3x3(x: jax.Array, k: jax.Array,
     cop = n_co * co_t - co
 
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1 + hp), (1, 7 + wp_out - w),
-                     (0, 0)))
-    kp = jnp.pad(k, ((0, 0),) * 4 + ((0, cop),)) if cop else k
+                     (0, cp - c)))
+    kp = jnp.pad(k, ((0, 0),) * 3 + ((0, cp - c), (0, cop)))
 
     out = pl.pallas_call(
         functools.partial(_kernel, l_t=l_t, th=th, w_out=wp_out, co_t=co_t),
         grid=(b, n_co, l // l_t, n_ht),
         in_specs=[
-            pl.BlockSpec((3, 3, 3, c, co_t),
+            pl.BlockSpec((3, 3, 3, cp, co_t),
                          lambda bi, ci, li, hi: (0, 0, 0, 0, ci),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -148,7 +151,7 @@ def conv3d_3x3x3(x: jax.Array, k: jax.Array,
         out_shape=jax.ShapeDtypeStruct((b, l, h + hp, wp_out, n_co * co_t),
                                        out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((l_t + 2, th + 2, wp_out + 8, c), x.dtype),
+            pltpu.VMEM((l_t + 2, th + 2, wp_out + 8, cp), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(

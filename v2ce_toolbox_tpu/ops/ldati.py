@@ -597,6 +597,187 @@ def decode_event_stream(t_us, vox_id, count, dropped, p, h, w) -> EventStream:
 
 
 # ---------------------------------------------------------------------------
+# 3b. v3 compaction pipeline — roll-compactor instead of sort/gather
+# ---------------------------------------------------------------------------
+
+def _sample_events_v3(
+    counts: jax.Array,         # (N = B*P, cb, H, W) int32 relocated counts
+    chain_ts_us: jax.Array,    # (N, cb, H, W) int32 chain timestamps (abs)
+    k: jax.Array,              # (N, cb, H, W) f32 slope params
+    b: jax.Array,
+    bin_start_us_i: jax.Array,  # (cb,) int32
+    key: jax.Array,
+    *,
+    bb: int, p: int, cb: int, h: int, w: int,
+    strategy: str,
+    voxel_step: float,
+    t0: float,
+    max_events_per_voxel: int,
+    cap_bin: int,
+    multi_cap: int,
+    capacity: int,
+) -> EventStream:
+    """Sort-light sampler core. The reference's per-channel gather/argsort
+    loops (LDATI.py:248-310) and the v2 flat kv sort (an honest 215 ms per
+    16 frames: sort 66 ms + gathers ~100 ms, tools/perf_probe.py) become:
+
+      1. elementwise packed candidate keys (sub-bin µs << vox_bits | voxel
+         id) on the bin-major grid — no data movement. The slope k rides
+         as ONE routed payload with the voxel's extra-event count packed
+         into its 8 low mantissa bits (b is a pure function of k,
+         slope_params; the ~1e-5 relative slope nudge is far below the
+         sampler's distributional tolerance and does not affect counts);
+      2. ONE roll-compaction of the ~90%-empty candidate grid
+         (ops/compact_pallas.py — no sorts/gathers/scatters);
+      3. multi-event voxels are re-compacted from the ALREADY-compacted
+         rows (5-6x less volume than the grid), and the inverse-CDF draws
+         for additional events (LDATI.py:188-196) happen elementwise on
+         that pool — the v2 design's gathers never happen;
+      4. ONE batched single-key sort over (frame*bin, cap_bin + extras)
+         rows — an order of magnitude less volume than sorting the full
+         grid; ties break by voxel id (the key's low bits), reproducing
+         the reference's neg-then-pos concat order;
+      5. a final roll-compaction merges each frame's time-disjoint bins
+         into the (capacity,) stream; bin start times are recomputed
+         arithmetically at decode (a per-event table lookup measured
+         ~60 ms of gathers).
+
+    Every capacity loss (bin cap, multi pool, tiers, frame capacity) lands
+    in `dropped` exactly via total_emitted - kept.
+    """
+    from v2ce_toolbox_tpu.ops.compact_pallas import (
+        INVALID as _INV,
+        compact_rows,
+    )
+
+    seg = p * h * w
+    vox_bits = max(int(np.ceil(np.log2(max(seg, 2)))), 1)
+    f = bb
+    mepv = max_events_per_voxel
+    vox_mask = (1 << vox_bits) - 1
+    ts_cap = (1 << (31 - vox_bits)) - 2
+
+    def frame_order(a):
+        return frame_order_voxels(a, bb, p, cb, h, w).reshape(f, cb, seg)
+
+    is_chain = counts == 1
+    if strategy == "none":
+        emit = is_chain.astype(jnp.int32)
+    else:
+        emit = jnp.where(is_chain, 1, jnp.minimum(counts, mepv))
+        emit = jnp.maximum(emit, 0)
+
+    # slot-0 timestamps, absolute int µs (same float math as v2/reference)
+    u0 = jax.random.uniform(jax.random.fold_in(key, 0), counts.shape)
+    bin_start_s = bin_start_us_i.astype(jnp.float32) * 1e-6
+    if strategy == "none":
+        ts0 = chain_ts_us
+    else:
+        t_add = _inverse_cdf_ts(u0, k, b, voxel_step)
+        ts0 = jnp.where(
+            is_chain, chain_ts_us,
+            ((t_add + bin_start_s[None, :, None, None]) * 1e6
+             ).astype(jnp.int32))
+    rel0 = jnp.clip(ts0 - bin_start_us_i[None, :, None, None], 0, ts_cap)
+
+    # bin-major packed keys; vox id = within-bin flat id (P-flipped,
+    # matching the reference's neg-then-pos tie order, LDATI.py:290-296)
+    rel0_f = frame_order(rel0)
+    emit_f = frame_order(emit)
+    vox_iota = lax.broadcasted_iota(jnp.int32, (f, cb, seg), 2)
+    packed0 = (rel0_f << vox_bits) | vox_iota
+    keys0 = jnp.where(emit_f > 0, packed0, _INV).reshape(f * cb, seg)
+
+    use_multi = strategy != "none" and mepv > 1
+    payloads = []
+    if use_multi:
+        extra = jnp.minimum(jnp.maximum(counts - 1, 0), mepv - 1)
+        extra = jnp.minimum(extra, 255)
+        kx = lax.bitcast_convert_type(k.astype(jnp.float32), jnp.int32)
+        kx = (kx & ~jnp.int32(0xFF)) | extra
+        payloads = [frame_order(kx).reshape(f * cb, seg)]
+
+    chunk = 8192    # measured: 2.2 Gelem/s vs 1.2 at 2048 (grid-step overhead)
+    chain_keys, chain_pays, _, _ = compact_rows(
+        keys0, payloads, cap=cap_bin, chunk=chunk)
+    rows = [chain_keys]
+
+    if use_multi:
+        ckx = chain_pays[0]
+        c_extra = ckx & 0xFF
+        multi_keys_in = jnp.where((c_extra > 0) & (chain_keys != _INV),
+                                  chain_keys, _INV)
+        m_keys, (mkx,), _, _ = compact_rows(
+            multi_keys_in, [ckx], cap=multi_cap, chunk=min(chunk, 2048))
+        mc = m_keys.shape[1]
+        # order the pool by extra-count DESCENDING (stable) so the tiered
+        # slot prefixes below cover the highest-multiplicity voxels first
+        # — the same priority v2's top_k pool had; a tier only drops when
+        # #(extra >= j) genuinely exceeds n_j (exact via `dropped`)
+        mvox0 = jnp.where(m_keys != _INV, m_keys & vox_mask, 0)
+        m_extra0 = jnp.where(m_keys != _INV, mkx & 0xFF, 0)
+        order = ((255 - m_extra0) << 22) | lax.broadcasted_iota(
+            jnp.int32, m_extra0.shape, 1)
+        _, mkx, mvox = lax.sort((order, mkx, mvox0), dimension=1,
+                                num_keys=1)
+        # invalid pool slots carried payload 0 -> extra 0, never selected
+        m_extra = mkx & 0xFF
+        mk_f = lax.bitcast_convert_type(mkx & ~jnp.int32(0xFF), jnp.float32)
+        mb_f = 1.0 / voxel_step - voxel_step * mk_f / 2.0
+
+        # tiered extra-slot sizing: full pool for slots 1-3, then halving
+        # with a 256 floor (extras get exponentially rarer with j; any
+        # voxel beyond its tier surfaces in `dropped`)
+        def tier(j):
+            if j <= 2:
+                return mc
+            return min(mc, max(multi_cap >> (j - 2), 256))
+
+        for j in range(1, mepv):
+            n_j = tier(j)
+            u = jax.random.uniform(jax.random.fold_in(key, j), (f * cb, n_j))
+            t_add = _inverse_cdf_ts(u, mk_f[:, :n_j], mb_f[:, :n_j],
+                                    voxel_step)
+            rel = jnp.clip((t_add * 1e6).astype(jnp.int32), 0, ts_cap)
+            valid_j = m_extra[:, :n_j] >= j
+            rows.append(jnp.where(valid_j, (rel << vox_bits) | mvox[:, :n_j],
+                                  _INV))
+
+    # ONE batched single-key sort per (frame, bin) row
+    merged = lax.sort(jnp.concatenate(rows, axis=1), dimension=1)
+
+    # merge the time-disjoint bins of each frame; carry the global voxel
+    # id (bin * seg + vox) as payload so decode survives the merge
+    row_bin = lax.broadcasted_iota(
+        jnp.int32, (f * cb, merged.shape[1]), 0) % cb
+    gvox = jnp.where(merged != _INV,
+                     (merged & vox_mask) + row_bin * seg, 0)
+    rel_only = jnp.where(merged != _INV, merged >> vox_bits, _INV)
+
+    fw = cb * merged.shape[1]
+    frame_keys = rel_only.reshape(f, fw)
+    frame_vox = gvox.reshape(f, fw)
+    out_rel, (out_vox,), kept, _ = compact_rows(
+        frame_keys, [frame_vox], cap=capacity, chunk=chunk)
+
+    # decode: abs µs = rel + bin_start(bin), with the bin start recomputed
+    # arithmetically (identical float expression to bin_starts above — a
+    # per-event table gather here measured ~60 ms)
+    out_bin = jnp.minimum(out_vox // seg, cb - 1)
+    bin_start_dec = ((out_bin.astype(jnp.float32) * voxel_step + t0)
+                     * 1e6).astype(jnp.int32)
+    t_us = jnp.where(out_rel != _INV, out_rel + bin_start_dec, _INT32_MAX)
+
+    total_emit = emit_f.astype(jnp.int64).sum(axis=(1, 2)).astype(jnp.int32)
+    cap_dropped = jnp.where(counts > mepv, counts - mepv, 0)
+    if strategy == "none":
+        cap_dropped = jnp.zeros_like(cap_dropped)
+    cap_dropped_f = frame_order(cap_dropped).sum(axis=(1, 2))
+    dropped = total_emit - kept + cap_dropped_f
+    return decode_event_stream(t_us, out_vox, kept, dropped, p, h, w)
+
+
+# ---------------------------------------------------------------------------
 # 4. Full sampler (reference: scripts/LDATI.py:126-214 + 248-310)
 # ---------------------------------------------------------------------------
 
@@ -606,6 +787,7 @@ def decode_event_stream(t_us, vox_id, count, dropped, p, h, w) -> EventStream:
         "fps", "pooling_type", "pooling_kernel_size",
         "additional_events_strategy", "bidirectional",
         "max_events_per_voxel", "max_multi_voxels", "capacity",
+        "use_v3", "cap_bin", "multi_cap",
     ),
 )
 def sample_events(
@@ -621,6 +803,9 @@ def sample_events(
     max_events_per_voxel: int = 16,
     max_multi_voxels: int = 1 << 16,
     capacity: int = 1 << 19,
+    use_v3: bool = True,
+    cap_bin: int = 1 << 15,
+    multi_cap: int = 4096,
 ) -> EventStream:
     """Sample a timestamped event stream from predicted voxels — the
     jit-compiled core of the LDATI sampler.
@@ -657,6 +842,24 @@ def sample_events(
     else:
         k = jnp.zeros_like(chain_ts)
         b = jnp.zeros_like(chain_ts)
+
+    # v3 roll-compaction path: used whenever the sub-bin µs fit the packed
+    # int32 key (true for the 'slope'/'none' strategies at any realistic
+    # fps; 'random' draws whole-frame second offsets and falls back to the
+    # v2 sort path below).
+    seg_bits = max(int(np.ceil(np.log2(max(p * h * w, 2)))), 1)
+    max_rel_us = int(voxel_step * 1e6) + 2
+    if (use_v3 and additional_events_strategy in ("none", "slope")
+            and max_rel_us <= (1 << (31 - seg_bits)) - 2):
+        return _sample_events_v3(
+            counts, chain_ts_us, k, b,
+            (bin_starts * 1e6).astype(jnp.int32), key,
+            bb=bb, p=p, cb=cb, h=h, w=w,
+            strategy=additional_events_strategy,
+            voxel_step=voxel_step, t0=t0,
+            max_events_per_voxel=max_events_per_voxel,
+            cap_bin=cap_bin, multi_cap=multi_cap, capacity=capacity,
+        )
 
     # Per-voxel emit counts. count == 1 voxels emit their chain event;
     # count >= 2 voxels emit `count` stochastic events (LDATI.py:228-239);
