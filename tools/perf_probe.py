@@ -420,6 +420,176 @@ def probe_sampler_phases():
 PROBES["sampler_phases"] = probe_sampler_phases
 
 
+
+
+def probe_window(barrier=False):
+    """bench.py's full window step (model -> sampler) in ONE jit, with and
+    without an optimization barrier between the stages."""
+    from v2ce_toolbox_tpu.config import ModelConfig, SamplerConfig
+    from v2ce_toolbox_tpu.models import V2ce3d
+    from v2ce_toolbox_tpu.ops.ldati import sample_events
+    from v2ce_toolbox_tpu.pipeline.preprocess import normalize_pairs
+
+    seq_len, h, w = 16, 260, 346
+    scfg = SamplerConfig()
+    model = V2ce3d(config=ModelConfig())
+    rng = np.random.RandomState(0)
+    frames0 = jnp.asarray(rng.rand(1, seq_len + 1, h, w).astype(np.float32))
+    variables = model.init(jax.random.key(0),
+                           frames0[:, :3, :, :, None].repeat(2, -1),
+                           train=False)
+
+    def fn(args):
+        frames, = args
+        units = normalize_pairs(frames)
+        voxels = model.apply(variables, units, train=False)
+        if barrier:
+            voxels = lax.optimization_barrier(voxels)
+        v = jnp.transpose(voxels[0], (0, 3, 1, 2)).reshape(
+            seq_len, 2, 10, h, w)
+        s = sample_events(
+            v, jax.random.key(0), fps=30,
+            additional_events_strategy=scfg.additional_events_strategy,
+            max_events_per_voxel=scfg.max_events_per_voxel,
+            capacity=scfg.event_capacity)
+        return (s.count.sum() + (s.t_us % 97).sum()
+                + s.x.astype(jnp.int32).sum())
+
+    dt = timed_loop(fn, (frames0,), n_iters=10)
+    label = "barrier" if barrier else "fused"
+    print(f"window step ({label}): {dt*1e3:.2f} ms ({16/dt:.1f} fps)",
+          flush=True)
+
+
+PROBES["window"] = lambda: probe_window(False)
+PROBES["window_barrier"] = lambda: probe_window(True)
+
+
+
+
+def probe_sampler_t(barrier=False):
+    """Sampler fed through an in-jit transpose from (16,H,W,20) — the
+    layout the model produces — vs the isolated probe's direct input."""
+    from v2ce_toolbox_tpu.config import SamplerConfig
+    from v2ce_toolbox_tpu.ops.ldati import sample_events
+
+    scfg = SamplerConfig()
+    rng = np.random.RandomState(0)
+    x = jnp.asarray((rng.rand(16, 260, 346, 20) < 0.1).astype(np.float32)
+                    * rng.rand(16, 260, 346, 20).astype(np.float32) * 4)
+
+    def fn(args):
+        xx, = args
+        v = jnp.transpose(xx, (0, 3, 1, 2)).reshape(16, 2, 10, 260, 346)
+        if barrier:
+            v = lax.optimization_barrier(v)
+        s = sample_events(
+            v, jax.random.key(0), fps=30,
+            additional_events_strategy=scfg.additional_events_strategy,
+            max_events_per_voxel=scfg.max_events_per_voxel,
+            capacity=scfg.event_capacity)
+        return (s.count.sum() + (s.t_us % 97).sum()
+                + s.x.astype(jnp.int32).sum())
+
+    label = "barrier" if barrier else "fused"
+    dt = timed_loop(fn, (x,), n_iters=10)
+    print(f"sampler via transpose ({label}): {dt*1e3:.2f} ms", flush=True)
+
+
+PROBES["sampler_t"] = lambda: probe_sampler_t(False)
+PROBES["sampler_t_barrier"] = lambda: probe_sampler_t(True)
+
+
+
+
+def probe_window_model_only():
+    """bench's window step with the sampler removed — isolates whether the
+    model slows down inside the composite graph."""
+    from v2ce_toolbox_tpu.config import ModelConfig
+    from v2ce_toolbox_tpu.models import V2ce3d
+    from v2ce_toolbox_tpu.pipeline.preprocess import normalize_pairs
+
+    seq_len, h, w = 16, 260, 346
+    model = V2ce3d(config=ModelConfig())
+    rng = np.random.RandomState(0)
+    frames0 = jnp.asarray(rng.rand(1, seq_len + 1, h, w).astype(np.float32))
+    variables = model.init(jax.random.key(0),
+                           frames0[:, :3, :, :, None].repeat(2, -1),
+                           train=False)
+
+    def fn(args):
+        frames, = args
+        units = normalize_pairs(frames)
+        voxels = model.apply(variables, units, train=False)
+        v = jnp.transpose(voxels[0], (0, 3, 1, 2)).reshape(
+            seq_len, 2, 10, h, w)
+        return (v.sum(), (v * v).sum())
+
+    dt = timed_loop(fn, (frames0,), n_iters=10)
+    print(f"window model-only: {dt*1e3:.2f} ms", flush=True)
+
+
+PROBES["window_model_only"] = probe_window_model_only
+
+
+
+
+def probe_window_two_jits():
+    """Driver-style execution: forward and sampler as separate async
+    dispatches chained across 20 windows, one final fetch — the way the
+    real pipeline runs (and a valid timing through the tunnel since all
+    dispatches queue server-side)."""
+    import time as _time
+
+    from v2ce_toolbox_tpu.config import ModelConfig, SamplerConfig
+    from v2ce_toolbox_tpu.models import V2ce3d
+    from v2ce_toolbox_tpu.ops.ldati import sample_events
+    from v2ce_toolbox_tpu.pipeline.preprocess import normalize_pairs
+
+    seq_len, h, w = 16, 260, 346
+    scfg = SamplerConfig()
+    model = V2ce3d(config=ModelConfig())
+    rng = np.random.RandomState(0)
+    frames0 = jnp.asarray(rng.rand(1, seq_len + 1, h, w).astype(np.float32))
+    variables = model.init(jax.random.key(0),
+                           frames0[:, :3, :, :, None].repeat(2, -1),
+                           train=False)
+
+    @jax.jit
+    def fwd(frames):
+        return model.apply(variables, normalize_pairs(frames), train=False)
+
+    @jax.jit
+    def sample(voxels, key):
+        v = jnp.transpose(voxels[0], (0, 3, 1, 2)).reshape(
+            seq_len, 2, 10, h, w)
+        s = sample_events(
+            v, key, fps=30,
+            additional_events_strategy=scfg.additional_events_strategy,
+            max_events_per_voxel=scfg.max_events_per_voxel,
+            capacity=scfg.event_capacity)
+        return (s.count.sum() + (s.t_us % 97).sum()
+                + s.x.astype(jnp.int32).sum()).astype(jnp.float32)
+
+    def run(n):
+        acc = jnp.zeros((), jnp.float32)
+        for i in range(n):
+            vox = fwd(frames0 + acc * 1e-12)
+            acc = acc + sample(vox, jax.random.key(i)) * 1e-20
+        return float(np.asarray(acc))
+
+    _ = run(2)                         # compile + warm both jits
+    t0 = _time.time()
+    r = run(20)
+    dt = (_time.time() - t0) / 20
+    assert np.isfinite(r)
+    print(f"window two-jits (driver style): {dt*1e3:.2f} ms "
+          f"({16/dt:.1f} fps)", flush=True)
+
+
+PROBES["window_two_jits"] = probe_window_two_jits
+
+
 if __name__ == "__main__":
     from v2ce_toolbox_tpu.utils.jax_setup import enable_compilation_cache
 

@@ -35,6 +35,33 @@ from v2ce_toolbox_tpu.pipeline.preprocess import resize_frames
 from v2ce_toolbox_tpu.pipeline.render import render_event_frames
 from v2ce_toolbox_tpu.pipeline.windows import plan_windows
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("frames",))
+def _flatten_chunk_stream(s: EventStream, offsets_us: jax.Array,
+                          frames: int):
+    """Device-side flatten of a chunk's per-frame event buffers into one
+    valid-prefix stream: absolute int32 µs keys (frame offset added) and
+    (x << 16 | y << 1 | p) payloads, roll-compacted so the host fetches
+    only `kept` events instead of frames x capacity buffer slots."""
+    from v2ce_toolbox_tpu.ops.compact_pallas import INVALID, compact_rows
+
+    t_us = s.t_us[:frames]
+    cap = t_us.shape[1]
+    slot = jax.lax.broadcasted_iota(jnp.int32, t_us.shape, 1)
+    valid = slot < s.count[:frames, None]
+    keys = jnp.where(valid, t_us + offsets_us[:frames, None], INVALID)
+    payload = jnp.where(
+        valid,
+        (s.x[:frames].astype(jnp.int32) << 16)
+        | (s.y[:frames].astype(jnp.int32) << 1)
+        | s.p[:frames].astype(jnp.int32), 0)
+    out_k, (out_p,), kept, _ = compact_rows(
+        keys.reshape(1, frames * cap), [payload.reshape(1, frames * cap)],
+        cap=frames * cap, chunk=8192)
+    return out_k[0], out_p[0], kept[0]
+
 logger = logging.getLogger(__name__)
 
 
@@ -198,8 +225,16 @@ class V2cePipeline:
     def voxels_to_event_stream(self, voxels: jax.Array,
                                key: Optional[jax.Array] = None) -> np.ndarray:
         """Like voxels_to_events but emits ONE concatenated structured
-        stream via the native single-pass packer (io/native.py), applying
-        the per-frame i/fps offsets of v2ce.py:363-367."""
+        stream, applying the per-frame i/fps offsets of v2ce.py:363-367.
+
+        The per-chunk streams are flattened ON DEVICE (roll-compaction of
+        the fixed-capacity frame buffers into one valid-prefix array with
+        (x, y, p) packed into an int32 payload), so only the actual events
+        cross to the host — the fixed buffers are ~85-95% empty and
+        fetching them measured ~1.6 GB per 321-frame video through the
+        TPU tunnel. Videos longer than ~35 min would overflow the int32
+        absolute-µs offsets and fall back to the per-frame fetch."""
+        from v2ce_toolbox_tpu.events import EVENT_DTYPE
         from v2ce_toolbox_tpu.io.native import pack_event_stream
 
         cfg = self.config
@@ -213,6 +248,8 @@ class V2cePipeline:
         if pad:
             v = jnp.concatenate(
                 [v, jnp.zeros((pad, *v.shape[1:]), v.dtype)], axis=0)
+        flat_ok = (t / cfg.fps) * 1e6 + 2e6 < 2 ** 31
+
         parts = []
         for i in range(n_chunks):
             s = sample_events(
@@ -228,12 +265,25 @@ class V2cePipeline:
             )
             base = i * chunk
             frames = min(chunk, t - base)
-            offsets = ((np.arange(chunk) + base) / cfg.fps * 1e6
-                       ).astype(np.int64)
-            parts.append(pack_event_stream(
-                np.asarray(s.t_us[:frames]), np.asarray(s.x[:frames]),
-                np.asarray(s.y[:frames]), np.asarray(s.p[:frames]),
-                np.asarray(s.count[:frames], np.int32), offsets[:frames]))
+            offsets64 = ((np.arange(chunk) + base) / cfg.fps * 1e6
+                         ).astype(np.int64)
+            if flat_ok:
+                keys, payload, kept = _flatten_chunk_stream(
+                    s, jnp.asarray(offsets64.astype(np.int32)), frames)
+                n = int(kept)
+                out = np.zeros(n, dtype=EVENT_DTYPE)
+                out["timestamp"] = np.asarray(keys[:n]).astype(np.int64)
+                pl = np.asarray(payload[:n])
+                out["x"] = (pl >> 16).astype(np.int16)
+                out["y"] = ((pl >> 1) & 0x7FFF).astype(np.int16)
+                out["polarity"] = (pl & 1).astype(np.int8)
+                parts.append(out)
+            else:
+                parts.append(pack_event_stream(
+                    np.asarray(s.t_us[:frames]), np.asarray(s.x[:frames]),
+                    np.asarray(s.y[:frames]), np.asarray(s.p[:frames]),
+                    np.asarray(s.count[:frames], np.int32),
+                    offsets64[:frames]))
         return np.concatenate(parts) if parts else np.zeros(0)
 
     # -- full run ---------------------------------------------------------

@@ -11,12 +11,46 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
 
+def render_event_frames(voxels, *, ceil: float = 10.0,
+                        upper_bound_percentile: int = 98,
+                        keep_polarity: bool = True):
+    """Dispatch: device render for short clips, host numpy for long ones.
+
+    XLA pads channels-minor f32 arrays to 128 lanes on TPU — the
+    (T, H, W, 2/3) event-frame temporaries expand 43-65x, and the
+    321-frame reference workload OOMs HBM at 28 GB. The reference renders
+    on host CPU anyway (v2ce.py:241-280); we keep the fused device path
+    where it fits (short clips, tests) and mirror the same math in numpy
+    beyond that."""
+    t = voxels.shape[0]
+    if t <= 64:
+        return _render_event_frames_jit(
+            voxels, ceil=float(ceil),
+            upper_bound_percentile=upper_bound_percentile,
+            keep_polarity=keep_polarity)
+    v = np.asarray(voxels)
+    tt, h, w, c = v.shape
+    v = v.reshape(tt, h, w, 2, c // 2)
+    if keep_polarity:
+        efs = np.concatenate(
+            [v.sum(axis=-1), np.zeros((tt, h, w, 1), v.dtype)], axis=-1)
+    else:
+        efs = np.repeat(v.sum(axis=(-2, -1))[..., None], 3, axis=-1)
+    nz = efs[efs > 0]
+    bound = (np.percentile(nz, upper_bound_percentile) if nz.size else 1.0)
+    bound = max(min(bound, float(ceil)), 1e-6)
+    efs = np.clip(efs, 0, bound) / bound
+    return (efs * 255.0).astype(np.uint8)
+
+
 @functools.partial(jax.jit, static_argnames=("keep_polarity", "upper_bound_percentile", "ceil"))
-def render_event_frames(
+def _render_event_frames_jit(
     voxels: jax.Array,
     *,
     ceil: float = 10.0,
@@ -41,9 +75,31 @@ def render_event_frames(
 
     # Upper bound = min(percentile of nonzero values, ceil) (v2ce.py:261-264).
     flat = efs.reshape(-1)
-    nz = jnp.where(flat > 0, flat, jnp.nan)
-    bound = jnp.nanpercentile(nz, upper_bound_percentile)
-    bound = jnp.minimum(jnp.nan_to_num(bound, nan=1.0), float(ceil))
+    if flat.shape[0] <= (1 << 21):
+        # exact order-statistic interpolation for short clips / tests
+        nz = jnp.where(flat > 0, flat, jnp.nan)
+        bound = jnp.nanpercentile(nz, upper_bound_percentile)
+        bound = jnp.nan_to_num(bound, nan=1.0)
+    else:
+        # long videos: nanpercentile lowers to a global sort that crashes
+        # the TPU compiler at ~86M elements (321-frame README workload);
+        # a count-threshold bisection converges to the same bound with 30
+        # cheap reductions and no sort
+        n = jnp.sum(flat > 0)
+        k = n.astype(jnp.float32) * (1.0 - upper_bound_percentile / 100.0)
+
+        def body(_, st):
+            lo, hi = st
+            mid = 0.5 * (lo + hi)
+            above = jnp.sum(flat > mid).astype(jnp.float32)
+            pred = above > k
+            return (jnp.where(pred, mid, lo), jnp.where(pred, hi, mid))
+
+        _, hi = jax.lax.fori_loop(0, 30, body,
+                                  (jnp.float32(0.0),
+                                   jnp.max(flat).astype(jnp.float32)))
+        bound = jnp.where(n == 0, 1.0, hi)
+    bound = jnp.minimum(bound, float(ceil))
     bound = jnp.maximum(bound, 1e-6)
 
     efs = jnp.clip(efs, 0, bound) / bound
