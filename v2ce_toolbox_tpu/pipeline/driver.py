@@ -32,7 +32,7 @@ from v2ce_toolbox_tpu.models import V2ce3d
 from v2ce_toolbox_tpu.ops.ldati import sample_events
 from v2ce_toolbox_tpu.pipeline.infer import make_forward_fn
 from v2ce_toolbox_tpu.pipeline.preprocess import resize_frames
-from v2ce_toolbox_tpu.pipeline.render import render_event_frames
+from v2ce_toolbox_tpu.pipeline.render import render_event_frames_cmajor
 from v2ce_toolbox_tpu.pipeline.windows import plan_windows
 
 import functools
@@ -120,8 +120,13 @@ class V2cePipeline:
 
     def video_to_voxels(self, *, vidcap=None, image_paths=None) -> jax.Array:
         """Run stage 1 over a whole video; returns merged device voxels
-        (T, H, W_out, 20), T = frame_count - 1
-        (reference: v2ce.py:131-209)."""
+        in CHANNEL-MAJOR layout (T, 20, H, W_out), T = frame_count - 1
+        (reference: v2ce.py:131-209 keeps (T, 2, 10, H, W)).
+
+        Channel-major on device because TPU (8,128) tiling pads the minor
+        dims: (T, H, W, 20) f32 expands 6.4x (14.7 GB at 320 frames —
+        an HBM OOM waiting past ~350 frames) while (T, 20, H, W) pads
+        only W 346->384 (1.11x)."""
         cfg = self.config
         assert vidcap is not None or image_paths is not None
         frame_count = (
@@ -147,7 +152,8 @@ class V2cePipeline:
                         [frames, np.repeat(frames[-1:], pad, axis=0)], axis=0)
             fwd = self._forward_fn(frames.shape[-1])
             out = fwd(jnp.asarray(frames))
-            window_outputs.append(out[:real])
+            window_outputs.append(
+                jnp.transpose(out[:real], (0, 1, 4, 2, 3)))
             batch_frames.clear()
 
         for start in starts:
@@ -163,7 +169,7 @@ class V2cePipeline:
                 flush()
         flush()
 
-        windows = jnp.concatenate(window_outputs, axis=0)  # (S, L, H, W, 20)
+        windows = jnp.concatenate(window_outputs, axis=0)  # (S, L, 20, H, W)
         return self._merge(windows, mode)
 
     @staticmethod
@@ -182,14 +188,13 @@ class V2cePipeline:
 
     def voxels_to_events(self, voxels: jax.Array,
                          key: Optional[jax.Array] = None) -> List[np.ndarray]:
-        """Merged voxels (T, H, W, 20) -> per-frame event recarrays with
+        """Merged voxels (T, 20, H, W) -> per-frame event recarrays with
         absolute int64 µs timestamps (reference: v2ce.py:351-367)."""
         cfg = self.config
         if key is None:
             key = jax.random.key(0)
-        t, h, w, c = voxels.shape
-        # channels-last -> (T, 2, 10, H, W) sampler layout
-        v = jnp.transpose(voxels, (0, 3, 1, 2)).reshape(t, 2, c // 2, h, w)
+        t, c, h, w = voxels.shape
+        v = voxels.reshape(t, 2, c // 2, h, w)      # already channel-major
 
         chunk = cfg.stage2_batch_size
         n_chunks = -(-t // chunk)
@@ -240,8 +245,8 @@ class V2cePipeline:
         cfg = self.config
         if key is None:
             key = jax.random.key(0)
-        t, h, w, c = voxels.shape
-        v = jnp.transpose(voxels, (0, 3, 1, 2)).reshape(t, 2, c // 2, h, w)
+        t, c, h, w = voxels.shape
+        v = voxels.reshape(t, 2, c // 2, h, w)      # already channel-major
         chunk = cfg.stage2_batch_size
         n_chunks = -(-t // chunk)
         pad = n_chunks * chunk - t
@@ -326,10 +331,11 @@ class V2cePipeline:
             n_frames = vidcap.frame_count
             vidcap.close()
 
-        result = {"voxels_shape": tuple(voxels.shape)}
+        t_, c_, h_, w_ = voxels.shape
+        result = {"voxels_shape": (t_, h_, w_, c_)}   # logical, channels-last
 
         if cfg.write_event_frame_video:
-            frames = render_event_frames(
+            frames = render_event_frames_cmajor(
                 voxels,
                 ceil=float(cfg.ceil),
                 upper_bound_percentile=cfg.upper_bound_percentile,
@@ -340,7 +346,7 @@ class V2cePipeline:
                 out_folder,
                 f"{cfg.infer_type}-{output_name}-pred_ef_{vis_color}.mp4",
             )
-            write_video(np.asarray(frames), ef_path, cfg.fps)
+            write_video(frames, ef_path, cfg.fps)
             result["event_frame_video"] = ef_path
 
         event_stream = self.voxels_to_event_stream(voxels)

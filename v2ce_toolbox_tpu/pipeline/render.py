@@ -49,6 +49,68 @@ def render_event_frames(voxels, *, ceil: float = 10.0,
     return (efs * 255.0).astype(np.uint8)
 
 
+def render_event_frames_cmajor(voxels, *, ceil: float = 10.0,
+                               upper_bound_percentile: int = 98,
+                               keep_polarity: bool = True) -> np.ndarray:
+    """Channel-major (T, 20, H, W) device voxels -> (T, H, W, 3) uint8
+    host frames, entirely on device until the uint8 fetch.
+
+    This is the driver's path: W-minor layouts pad only 346->384 under
+    TPU tiling (channels-minor f32 pads 6.4-65x and OOM'd long clips),
+    and the fetch is 3-channel uint8 (~27x less tunnel traffic than
+    pulling f32 voxels for a host render)."""
+    out = _render_cmajor_jit(
+        voxels, ceil=float(ceil),
+        upper_bound_percentile=upper_bound_percentile,
+        keep_polarity=keep_polarity)
+    return np.moveaxis(np.asarray(out), 1, -1)
+
+
+def _percentile_bound(flat, upper_bound_percentile, ceil):
+    """min(percentile of nonzero values, ceil): exact order-statistic
+    interpolation for small inputs, count-threshold bisection beyond (the
+    nanpercentile sort crashes the TPU compiler at ~86M elements)."""
+    if flat.shape[0] <= (1 << 21):
+        nz = jnp.where(flat > 0, flat, jnp.nan)
+        bound = jnp.nanpercentile(nz, upper_bound_percentile)
+        bound = jnp.nan_to_num(bound, nan=1.0)
+    else:
+        n = jnp.sum(flat > 0)
+        k = n.astype(jnp.float32) * (1.0 - upper_bound_percentile / 100.0)
+
+        def body(_, st):
+            lo, hi = st
+            mid = 0.5 * (lo + hi)
+            pred = jnp.sum(flat > mid).astype(jnp.float32) > k
+            return (jnp.where(pred, mid, lo), jnp.where(pred, hi, mid))
+
+        _, hi = jax.lax.fori_loop(0, 30, body,
+                                  (jnp.float32(0.0),
+                                   jnp.max(flat).astype(jnp.float32)))
+        bound = jnp.where(n == 0, 1.0, hi)
+    bound = jnp.minimum(bound, float(ceil))
+    return jnp.maximum(bound, 1e-6)
+
+
+@functools.partial(jax.jit, static_argnames=("keep_polarity",
+                                             "upper_bound_percentile",
+                                             "ceil"))
+def _render_cmajor_jit(voxels, *, ceil, upper_bound_percentile,
+                       keep_polarity):
+    t, c, h, w = voxels.shape
+    v = voxels.reshape(t, 2, c // 2, h, w)
+    ef2 = v.sum(axis=2)                              # (T, 2, H, W)
+    if keep_polarity:
+        efs = jnp.concatenate(
+            [ef2, jnp.zeros((t, 1, h, w), ef2.dtype)], axis=1)
+    else:
+        efs = jnp.repeat(ef2.sum(axis=1, keepdims=True), 3, axis=1)
+    bound = _percentile_bound(efs.reshape(-1), upper_bound_percentile,
+                              ceil)
+    efs = jnp.clip(efs, 0, bound) / bound
+    return (efs * 255.0).astype(jnp.uint8)
+
+
 @functools.partial(jax.jit, static_argnames=("keep_polarity", "upper_bound_percentile", "ceil"))
 def _render_event_frames_jit(
     voxels: jax.Array,
