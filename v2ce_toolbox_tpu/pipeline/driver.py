@@ -276,6 +276,10 @@ class V2cePipeline:
                 keys, payload, kept = _flatten_chunk_stream(
                     s, jnp.asarray(offsets64.astype(np.int32)), frames)
                 n = int(kept)
+                # exact-length fetch: through the ~0.5 MB/s axon tunnel
+                # the transfer volume dominates wall clock (quantizing the
+                # slice length to reuse compiled shapes fetched 2.4x more
+                # bytes and measured slower end to end)
                 out = np.zeros(n, dtype=EVENT_DTYPE)
                 out["timestamp"] = np.asarray(keys[:n]).astype(np.int64)
                 pl = np.asarray(payload[:n])
