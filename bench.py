@@ -70,6 +70,11 @@ def main():
         units = normalize_pairs(frames)
         return model.apply(variables, units, train=False)  # (1,16,H,W,20)
 
+    from v2ce_toolbox_tpu.pipeline.driver import _flatten_chunk_stream
+
+    offsets_us = jnp.asarray(
+        (np.arange(seq_len) / 30 * 1e6).astype(np.int32))
+
     @jax.jit
     def sample(voxels, key):
         v = jnp.transpose(voxels[0], (0, 3, 1, 2)).reshape(
@@ -81,14 +86,15 @@ def main():
             max_events_per_voxel=scfg.max_events_per_voxel,
             capacity=scfg.event_capacity,
         )
-        # Consume EVERY stream field: returning only the count lets XLA
-        # dead-code-eliminate the timestamp sort entirely (discovered in
-        # round 2 — the round-1 number was measured sort-free).
-        return (stream.count.sum()
-                + (stream.t_us % 97).sum()
-                + stream.x.astype(jnp.int32).sum()
-                + stream.y.astype(jnp.int32).sum()
-                + stream.p.astype(jnp.int32).sum()).astype(jnp.float32)
+        # The device pipeline ends with the stream flatten the driver
+        # ships to the host — include it, and consume EVERY output field:
+        # returning only the count lets XLA dead-code-eliminate the
+        # timestamp sort entirely (discovered in round 2 — the round-1
+        # number was measured sort-free).
+        keys, payload, kept = _flatten_chunk_stream(stream, offsets_us,
+                                                    seq_len)
+        return ((keys % 97).sum() + (payload % 89).sum()
+                + kept + stream.dropped.sum()).astype(jnp.float32)
 
     n_iters = 20
 
