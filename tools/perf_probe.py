@@ -323,7 +323,7 @@ def probe_compact():
             kk, = args
             return (kk + (acc * 1e-12).astype(jnp.int32),)
 
-        for ch in (2048, 4096, 8192):
+        for ch in (8192, 16384):
             def fn(args, ch=ch):
                 kk, = args
                 o, _, k, t = compact_rows(kk, cap=1 << 16, chunk=ch)

@@ -19,24 +19,26 @@ TPU. The reference pipeline is:
      (LDATI.py:248-310).
 
 The TPU version keeps (1)-(3) as vectorized jnp (scan over bins for the
-debt chain) and replaces (4) with a *sort-based* stream compaction (XLA
-scatter serializes on TPU; sort and top_k are the fast primitives):
+debt chain) and replaces (4) with compaction designs that avoid TPU's
+slow primitives entirely (measured rates in PERF.md: sort 0.4-0.8
+Gelem/s, gathers 0.06-1.9 Gelem/s, scatter serializes):
 
-  - every voxel contributes one first-event candidate (key = timestamp if
-    it emits, else INT32_MAX);
-  - voxels emitting >= 2 events are compacted with `lax.top_k` into a
-    static pool of `max_multi_voxels`; each pool slot contributes up to
-    `max_events_per_voxel - 1` extra candidates;
-  - one key-value sort over all candidates orders the frame by timestamp
-    and pushes invalid slots to the tail; the first `capacity` slots are
-    the event buffer. Voxel ids ride along as the sort payload and are
-    decoded to (x, y, polarity) afterwards.
+  - the DEFAULT v3 path (`_sample_events_v3`) packs each candidate into a
+    30-bit int32 key (sub-bin µs << vox_bits | voxel id), roll-compacts
+    the mostly-empty candidate grid with the Pallas kernel in
+    ops/compact_pallas.py (2.2 Gelem/s — no sorts/gathers/scatters), and
+    needs only ONE small batched sort over the compacted rows. 31 ms per
+    16 frames at 260x346 vs 215 ms for the sort/gather design.
+  - the v2 path (`compact_frame_events` + `_compact_one_frame`) remains
+    for the 'random' strategy, whose whole-frame µs offsets do not fit
+    the packed key: one flat kv sort over all candidates with a
+    block-granular top_k multi pool.
 
-Candidates that don't fit (per-voxel cap, multi-voxel pool, buffer
-capacity) are counted in `dropped` — never silently lost. This removes
-every data-dependent shape (the reference sizes its buffer by the *runtime*
-max voxel count, LDATI.py:169-171), every per-channel python loop, and
-every device->host sync from the hot path.
+Candidates that don't fit (per-voxel cap, multi-voxel pool, tier sizes,
+buffer capacity) are counted in `dropped` — never silently lost. This
+removes every data-dependent shape (the reference sizes its buffer by the
+*runtime* max voxel count, LDATI.py:169-171), every per-channel python
+loop, and every device->host sync from the hot path.
 
 Numerics notes:
   - The reference computes chain timestamps in float64 (its tendency tensor
