@@ -257,3 +257,40 @@ def test_multichip_inference_sharding(tmp_path):
         vidcap=VideoReader(video_path, color_mode="GRAY")))
     assert vox8.shape == vox1.shape
     np.testing.assert_allclose(vox8, vox1, rtol=2e-4, atol=2e-5)
+
+
+def test_streaming_run_matches_batch_counts(tmp_path):
+    """run_streaming emits the same event totals and preview geometry as
+    run(): emission counts are deterministic given the voxels, and the
+    last window re-emits only its non-overlapping tail like merge_voxels."""
+    import cv2
+
+    from tools.make_test_video import make_frames
+    from v2ce_toolbox_tpu.config import PipelineConfig, SamplerConfig
+    from v2ce_toolbox_tpu.pipeline.driver import V2cePipeline
+
+    h, w = 64, 80
+    frames = make_frames(num_frames=20, height=h, width=w)
+    video_path = str(tmp_path / "clip.mp4")
+    vw = cv2.VideoWriter(video_path, cv2.VideoWriter_fourcc(*"mp4v"), 30,
+                         (w, h))
+    for f in frames:
+        vw.write(cv2.cvtColor(f, cv2.COLOR_GRAY2BGR))
+    vw.release()
+
+    cfg = PipelineConfig(
+        infer_type="center", height=h, width=w, batch_size=2,
+        max_frame_num=20, stage2_batch_size=8,
+        sampler=SamplerConfig(event_capacity=1 << 14),
+    )
+    pipe = V2cePipeline(cfg, model_path=None)
+    r_batch = pipe.run(input_video_path=video_path,
+                       out_folder=str(tmp_path / "b"))
+    r_stream = pipe.run_streaming(input_video_path=video_path,
+                                  out_folder=str(tmp_path / "s"))
+
+    assert r_stream["voxels_shape"] == r_batch["voxels_shape"]
+    assert r_stream["num_events"] == r_batch["num_events"]
+    ev = np.load(r_stream["event_stream_path"])["event_stream"]
+    assert (np.diff(ev["timestamp"]) >= 0).all()       # globally sorted
+    assert os.path.exists(r_stream["event_frame_video"])

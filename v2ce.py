@@ -55,6 +55,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-l", "--log_level", type=str, default="info")
     p.add_argument("-b", "--batch_size", type=int, default=1)
     p.add_argument("--stage2_batch_size", type=int, default=24)
+    p.add_argument("--streaming", type=SBool, default=False, nargs="?",
+                   const=True,
+                   help="stream windows end-to-end (decode -> forward -> "
+                        "sampler -> packed event fetch per window): O(window) "
+                        "device memory and fetches overlapped with compute")
     p.add_argument("--bf16", type=SBool, default=False, nargs="?", const=True,
                    help="run the stage-1 model with bfloat16 compute + "
                         "activations (faster on TPU; voxel values differ "
@@ -115,7 +120,8 @@ def main(argv=None):
         ),
     )
     pipeline = V2cePipeline(config, model_path=args.model_path)
-    result = pipeline.run(
+    run = pipeline.run_streaming if args.streaming else pipeline.run
+    result = run(
         input_video_path=args.input_video_path,
         image_folder=args.image_folder,
         out_folder=args.out_folder,

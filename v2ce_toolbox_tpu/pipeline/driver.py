@@ -38,19 +38,24 @@ from v2ce_toolbox_tpu.pipeline.windows import plan_windows
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("frames",))
+@functools.partial(jax.jit, static_argnames=("frames", "skip_lead"))
 def _flatten_chunk_stream(s: EventStream, offsets_us: jax.Array,
-                          frames: int):
+                          frames: int, skip_lead: int = 0):
     """Device-side flatten of a chunk's per-frame event buffers into one
     valid-prefix stream: absolute int32 µs keys (frame offset added) and
     (x << 16 | y << 1 | p) payloads, roll-compacted so the host fetches
-    only `kept` events instead of frames x capacity buffer slots."""
+    only `kept` events instead of frames x capacity buffer slots.
+    `skip_lead` drops the first frames (the streaming path's last window
+    re-emits only its non-overlapping tail, like merge_voxels)."""
     from v2ce_toolbox_tpu.ops.compact_pallas import INVALID, compact_rows
 
     t_us = s.t_us[:frames]
     cap = t_us.shape[1]
     slot = jax.lax.broadcasted_iota(jnp.int32, t_us.shape, 1)
     valid = slot < s.count[:frames, None]
+    if skip_lead:
+        frame_row = jax.lax.broadcasted_iota(jnp.int32, t_us.shape, 0)
+        valid = valid & (frame_row >= skip_lead)
     keys = jnp.where(valid, t_us + offsets_us[:frames, None], INVALID)
     payload = jnp.where(
         valid,
@@ -365,5 +370,141 @@ class V2cePipeline:
         logger.info(
             "%d frames -> %d events in %.2fs",
             n_frames, result["num_events"], result["wall_time_s"],
+        )
+        return result
+
+    def run_streaming(self, *, input_video_path: Optional[str] = None,
+                      image_folder: Optional[str] = None,
+                      out_folder: str = "./output",
+                      out_name_suffix: str = "") -> dict:
+        """Streaming CLI run: each 16-frame window flows decode -> forward
+        -> sampler -> device flatten -> host event fetch, with only the
+        per-polarity event-frame sums (for the preview's global percentile
+        bound) retained on device. Voxels never accumulate: memory is
+        O(window) instead of O(video), and the per-window event fetches
+        overlap the next window's device compute via async dispatch.
+
+        Event totals are identical to run() (emission counts are a
+        deterministic function of the voxels; the last window re-emits
+        only its non-overlapping tail, matching merge_voxels). Timestamp
+        draws differ in RNG chunking (16-frame windows vs
+        stage2_batch_size chunks) — the same distributional contract as
+        the reference.
+        """
+        import os
+
+        from v2ce_toolbox_tpu.events import EVENT_DTYPE
+        from v2ce_toolbox_tpu.io.video import (
+            VideoReader,
+            list_image_frames,
+            read_gray_images,
+            write_video,
+        )
+        from v2ce_toolbox_tpu.pipeline.render import (
+            render_event_frames_from_sums,
+        )
+
+        cfg = self.config
+        assert (input_video_path is None) != (image_folder is None)
+        os.makedirs(out_folder, exist_ok=True)
+        if image_folder is not None:
+            name = op.basename(op.normpath(image_folder))
+            paths = list_image_frames(image_folder, cfg.max_frame_num)
+            frame_count = len(paths)
+            vidcap = None
+        else:
+            name = op.splitext(op.basename(input_video_path))[0]
+            vidcap = VideoReader(input_video_path, color_mode="GRAY")
+            if cfg.max_frame_num and vidcap.frame_count > cfg.max_frame_num:
+                vidcap.frame_count = cfg.max_frame_num
+            frame_count = vidcap.frame_count
+        output_name = f"{name}-ceil_{cfg.ceil}-fps_{cfg.fps}"
+        if out_name_suffix:
+            output_name += f"-{out_name_suffix}"
+
+        t_start = time.time()
+        starts, mode = plan_windows(frame_count, cfg.seq_len)
+        key = jax.random.key(0)
+        flat_ok = (frame_count / cfg.fps) * 1e6 + 2e6 < 2 ** 31
+        assert flat_ok, "streaming mode supports videos up to ~35 min"
+
+        parts: List[np.ndarray] = []
+        ef_sums: List[jax.Array] = []
+        h_out = w_out = None
+        for i, start in enumerate(starts):
+            idx = range(int(start), int(start) + cfg.seq_len + 1)
+            if vidcap is not None:
+                raw = vidcap.read_frames_at_indices(idx)
+            else:
+                raw = read_gray_images([paths[j] for j in idx])
+            frames_in = resize_frames(raw, cfg.height)[None]
+            if self.mesh is not None:
+                n_dp = self.mesh.shape["data"]
+                frames_in = np.repeat(frames_in, n_dp, axis=0)
+            fwd = self._forward_fn(frames_in.shape[-1])
+            vox = fwd(jnp.asarray(frames_in))[0]        # (16, H, W, 20)
+            h_out, w_out = vox.shape[1], vox.shape[2]
+            v = jnp.transpose(vox, (0, 3, 1, 2)).reshape(
+                cfg.seq_len, 2, vox.shape[-1] // 2, *vox.shape[1:3])
+
+            is_last = i == len(starts) - 1
+            skip = (cfg.seq_len - mode) if (is_last and mode and
+                                            len(starts) > 1) else 0
+            s = sample_events(
+                v, jax.random.fold_in(key, i),
+                fps=cfg.fps,
+                additional_events_strategy=cfg.sampler.additional_events_strategy,
+                pooling_type=cfg.sampler.pooling_type,
+                pooling_kernel_size=cfg.sampler.pooling_kernel_size,
+                bidirectional=cfg.sampler.bidirectional,
+                max_events_per_voxel=cfg.sampler.max_events_per_voxel,
+                capacity=cfg.sampler.event_capacity,
+            )
+            offsets = ((np.arange(cfg.seq_len) + int(start)) / cfg.fps
+                       * 1e6).astype(np.int32)
+            keys_d, payload_d, kept = _flatten_chunk_stream(
+                s, jnp.asarray(offsets), cfg.seq_len, skip_lead=skip)
+            if cfg.write_event_frame_video:
+                ef_sums.append(v.sum(axis=2)[skip:])    # (16-skip, 2, H, W)
+            n = int(kept)
+            out = np.zeros(n, dtype=EVENT_DTYPE)
+            out["timestamp"] = np.asarray(keys_d[:n]).astype(np.int64)
+            pl = np.asarray(payload_d[:n])
+            out["x"] = (pl >> 16).astype(np.int16)
+            out["y"] = ((pl >> 1) & 0x7FFF).astype(np.int16)
+            out["polarity"] = (pl & 1).astype(np.int8)
+            parts.append(out)
+        if vidcap is not None:
+            vidcap.close()
+
+        result = {"voxels_shape": (frame_count - 1, h_out, w_out,
+                                   cfg.model.out_channels)}
+        if cfg.write_event_frame_video:
+            frames8 = render_event_frames_from_sums(
+                jnp.concatenate(ef_sums, axis=0),
+                ceil=float(cfg.ceil),
+                upper_bound_percentile=cfg.upper_bound_percentile,
+                keep_polarity=cfg.vis_keep_polarity,
+            )
+            vis_color = "rgb" if cfg.vis_keep_polarity else "gray"
+            ef_path = op.join(
+                out_folder,
+                f"{cfg.infer_type}-{output_name}-pred_ef_{vis_color}.mp4",
+            )
+            write_video(frames8, ef_path, cfg.fps)
+            result["event_frame_video"] = ef_path
+
+        event_stream = (np.concatenate(parts) if parts else np.zeros(0))
+        ev_path = op.join(out_folder, f"{output_name}-events.npz")
+        np.savez(ev_path, event_stream=event_stream)
+        result.update(
+            event_stream_path=ev_path,
+            num_events=int(event_stream.shape[0]),
+            num_frames=frame_count,
+            wall_time_s=time.time() - t_start,
+        )
+        logger.info(
+            "[streaming] %d frames -> %d events in %.2fs",
+            frame_count, result["num_events"], result["wall_time_s"],
         )
         return result

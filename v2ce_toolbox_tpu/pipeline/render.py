@@ -92,14 +92,25 @@ def _percentile_bound(flat, upper_bound_percentile, ceil):
     return jnp.maximum(bound, 1e-6)
 
 
+def render_event_frames_from_sums(ef2, *, ceil: float = 10.0,
+                                  upper_bound_percentile: int = 98,
+                                  keep_polarity: bool = True) -> np.ndarray:
+    """Per-polarity event-frame sums (T, 2, H, W) -> (T, H, W, 3) uint8
+    host frames — the streaming driver's path (it never materializes the
+    whole voxel grid, only these light per-window sums)."""
+    out = _finish_render_jit(
+        ef2, ceil=float(ceil),
+        upper_bound_percentile=upper_bound_percentile,
+        keep_polarity=keep_polarity)
+    return np.moveaxis(np.asarray(out), 1, -1)
+
+
 @functools.partial(jax.jit, static_argnames=("keep_polarity",
                                              "upper_bound_percentile",
                                              "ceil"))
-def _render_cmajor_jit(voxels, *, ceil, upper_bound_percentile,
+def _finish_render_jit(ef2, *, ceil, upper_bound_percentile,
                        keep_polarity):
-    t, c, h, w = voxels.shape
-    v = voxels.reshape(t, 2, c // 2, h, w)
-    ef2 = v.sum(axis=2)                              # (T, 2, H, W)
+    t, _, h, w = ef2.shape
     if keep_polarity:
         efs = jnp.concatenate(
             [ef2, jnp.zeros((t, 1, h, w), ef2.dtype)], axis=1)
@@ -109,6 +120,19 @@ def _render_cmajor_jit(voxels, *, ceil, upper_bound_percentile,
                               ceil)
     efs = jnp.clip(efs, 0, bound) / bound
     return (efs * 255.0).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("keep_polarity",
+                                             "upper_bound_percentile",
+                                             "ceil"))
+def _render_cmajor_jit(voxels, *, ceil, upper_bound_percentile,
+                       keep_polarity):
+    t, c, h, w = voxels.shape
+    v = voxels.reshape(t, 2, c // 2, h, w)
+    return _finish_render_jit(
+        v.sum(axis=2), ceil=ceil,
+        upper_bound_percentile=upper_bound_percentile,
+        keep_polarity=keep_polarity)
 
 
 @functools.partial(jax.jit, static_argnames=("keep_polarity", "upper_bound_percentile", "ceil"))
