@@ -91,9 +91,10 @@ def main():
         # returning only the count lets XLA dead-code-eliminate the
         # timestamp sort entirely (discovered in round 2 — the round-1
         # number was measured sort-free).
-        keys, payload, kept = _flatten_chunk_stream(stream, offsets_us,
-                                                    seq_len)
-        return ((keys % 97).sum() + (payload % 89).sum()
+        packed, kept, exc_idx, exc_key, n_exc, _ = _flatten_chunk_stream(
+            stream, offsets_us, seq_len)
+        return ((packed % 97).sum() + (exc_idx % 89).sum()
+                + (exc_key % 83).sum() + n_exc
                 + kept + stream.dropped.sum()).astype(jnp.float32)
 
     n_iters = 20
@@ -114,6 +115,27 @@ def main():
 
     frames_per_sec = n_iters * seq_len / elapsed
 
+    # Self-auditing MFU: XLA cost-analysis FLOPs of the stage-1 forward
+    # (the FLOP-dominant stage; reference analog: thop GFLOPs in
+    # train/scripts/tools/speed_test.py:28-44) over the measured window
+    # time, against the v5e bf16 MXU peak.
+    stage1 = {}
+    try:
+        cost = fwd.lower(frames0).compile().cost_analysis()
+        model_flops = float(cost.get("flops", 0.0))
+        stage1_s = timed_stage1_seconds(fwd, frames0, np, jnp, jax)
+        v5e_peak = 197e12
+        stage1 = {
+            "stage1_ms_per_window": round(stage1_s * 1e3, 2),
+            "stage1_gflops_per_window": round(model_flops / 1e9, 1),
+            "stage1_tflops_per_sec": round(model_flops / stage1_s / 1e12, 1),
+            "stage1_mfu_vs_v5e_bf16_peak": round(
+                model_flops / stage1_s / v5e_peak, 4),
+        }
+    except Exception as e:  # noqa: BLE001
+        print(f"# MFU measurement failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
     # e2e_cli_frames_per_sec: full CLI wall clock on the reference README
     # workload (321 frames @ 30 fps, center; readme.md:23): decode ->
     # model -> sampler -> event-frame mp4 + npz, host paths included.
@@ -123,7 +145,25 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(frames_per_sec / 300.0, 4),
         "e2e_cli_frames_per_sec": cli_fps,
+        **stage1,
     }))
+
+
+def timed_stage1_seconds(fwd, frames0, np, jnp, jax, n_iters=10):
+    """Stage-1-only window time via the chained-dispatch recipe."""
+    import time as _t
+
+    def run(n):
+        acc = jnp.zeros((), jnp.float32)
+        for _ in range(n):
+            acc = acc + fwd(frames0 + acc * 1e-12).sum() * 1e-20
+        return float(np.asarray(acc))
+
+    _ = run(2)
+    t0 = _t.time()
+    r = run(n_iters)
+    assert np.isfinite(r)
+    return max(_t.time() - t0, 1e-9) / n_iters
 
 
 def cli_wall_clock(num_frames: int = 321) -> float:

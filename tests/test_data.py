@@ -127,3 +127,57 @@ def test_lin_log_parity():
     ours = lin_log(x)
     np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-7)
     del torch
+
+
+def test_illum_augmentation_parity_and_wiring(tmp_path):
+    """apply_illum_augmentation matches a torch transcription of the
+    reference recipe (train/scripts/utils/data_utils.py:41-45) for the same
+    gain/gamma draws, and the dataset flag changes train-mode images only
+    before normalization."""
+    torch = pytest.importorskip("torch")
+    from v2ce_toolbox_tpu.data.event_pack_dataset import (
+        EventPackDataset,
+        FRAME_MEAN,
+        FRAME_STD,
+        apply_illum_augmentation,
+    )
+
+    rng = np.random.RandomState(7)
+    img = rng.rand(3, 8, 9, 2).astype(np.float32)
+
+    class _FixedRng:
+        def __init__(self, vals):
+            self.vals = list(vals)
+
+        def rand(self):
+            return self.vals.pop(0)
+
+    # reference: gamma drawn first, then gain
+    u_gamma, u_gain = 0.3, 0.9
+    ours = apply_illum_augmentation(img, _FixedRng([u_gamma, u_gain]))
+    gamma = 0.8 + u_gamma * 0.4
+    gain = 0.8 + u_gain * 0.4
+    ref = torch.clamp(
+        gain * torch.pow(torch.from_numpy(img), gamma), 0, 1.0).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-7)
+
+    from v2ce_toolbox_tpu.data.dummy_data_gen import generate
+
+    generate(str(tmp_path), num_packets=12, height=16, width=20,
+             events_per_frame=10)
+    kw = dict(include_flows=False, include_lfr=False)
+    base = EventPackDataset("train", str(tmp_path), **kw)[0]
+    aug_ds = EventPackDataset("train", str(tmp_path), illum_aug=True, **kw)
+    aug = aug_ds[0]
+    assert not np.allclose(aug["image_units"], base["image_units"])
+    # augmented images stay in the normalized [0,1] range's image
+    un = aug["image_units"] * FRAME_STD + FRAME_MEAN
+    assert un.min() >= -1e-5 and un.max() <= 1.0 + 1e-5
+    # voxels untouched by the illumination change
+    np.testing.assert_array_equal(aug["voxels"], base["voxels"])
+    # eval mode ignores the flag
+    ev = EventPackDataset("val", str(tmp_path), illum_aug=True, **kw)
+    ev_base = EventPackDataset("val", str(tmp_path), **kw)
+    np.testing.assert_array_equal(ev[0]["image_units"],
+                                  ev_base[0]["image_units"])
+    del torch

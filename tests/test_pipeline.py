@@ -40,6 +40,12 @@ def test_plan_and_merge_match_reference(frame_count):
     from v2ce_toolbox_tpu.pipeline.windows import merge_window_voxels, plan_windows
 
     seq_len = 16
+    if 2 <= frame_count < seq_len + 1:
+        # the reference arithmetic (v2ce.py:150-154) yields a negative
+        # start here and reads garbage frames; we fail loudly instead
+        with pytest.raises(ValueError, match="too short"):
+            plan_windows(frame_count, seq_len)
+        return
     starts, mode = plan_windows(frame_count, seq_len)
     # reference window plan (v2ce.py:150-154)
     ref_num = int(np.ceil((frame_count - 1) / seq_len))
@@ -294,3 +300,94 @@ def test_streaming_run_matches_batch_counts(tmp_path):
     ev = np.load(r_stream["event_stream_path"])["event_stream"]
     assert (np.diff(ev["timestamp"]) >= 0).all()       # globally sorted
     assert os.path.exists(r_stream["event_frame_video"])
+
+
+def test_delta_wire_format_roundtrip():
+    """The delta-encoded device->host event wire format reconstructs the
+    exact absolute timestamps and (x, y, p) of the direct recarray path,
+    including >4094 µs gaps and window-start jumps (exception path)."""
+    import jax.numpy as jnp
+
+    from v2ce_toolbox_tpu.events import EventStream
+    from v2ce_toolbox_tpu.pipeline.driver import (
+        _decode_packed_events,
+        _flatten_chunk_stream,
+    )
+
+    rng = np.random.RandomState(3)
+    frames, cap = 4, 4096
+    counts = np.array([3000, 0, 1, 2500], np.int32)  # empty frame -> gap
+    t = np.full((frames, cap), np.iinfo(np.int32).max, np.int32)
+    x = np.zeros((frames, cap), np.int16)
+    y = np.zeros((frames, cap), np.int16)
+    p = np.zeros((frames, cap), np.int8)
+    for f in range(frames):
+        n = counts[f]
+        if n:
+            # mixed dense + sparse tails inside the 33.3 ms frame window
+            tt = np.sort(rng.randint(0, 33334, n)).astype(np.int32)
+            t[f, :n] = tt
+            x[f, :n] = rng.randint(0, 346, n)
+            y[f, :n] = rng.randint(0, 260, n)
+            p[f, :n] = rng.randint(0, 2, n)
+    s = EventStream(jnp.asarray(t), jnp.asarray(x), jnp.asarray(y),
+                    jnp.asarray(p), jnp.asarray(counts),
+                    jnp.zeros_like(jnp.asarray(counts)))
+    offsets = (np.arange(frames) / 30 * 1e6).astype(np.int32)
+
+    packed, kept, exc_idx, exc_key, n_exc, exc_total = (
+        _flatten_chunk_stream(s, jnp.asarray(offsets), frames))
+    n = int(kept)
+    m = int(n_exc)
+    assert n == counts.sum()
+    assert int(exc_total) == m
+    assert m >= 2      # at least the first event and the empty-frame gap
+    ts, xd, yd, pd = _decode_packed_events(
+        np.asarray(packed[:n]), np.asarray(exc_idx[:m]),
+        np.asarray(exc_key[:m]))
+
+    # reference: direct flatten on host
+    ref_t, ref_x, ref_y, ref_p = [], [], [], []
+    for f in range(frames):
+        n_f = counts[f]
+        ref_t.append(t[f, :n_f].astype(np.int64) + offsets[f])
+        ref_x.append(x[f, :n_f])
+        ref_y.append(y[f, :n_f])
+        ref_p.append(p[f, :n_f])
+    np.testing.assert_array_equal(ts, np.concatenate(ref_t))
+    np.testing.assert_array_equal(xd, np.concatenate(ref_x))
+    np.testing.assert_array_equal(yd, np.concatenate(ref_y))
+    np.testing.assert_array_equal(pd, np.concatenate(ref_p))
+
+
+def test_delta_wire_format_skip_lead():
+    """skip_lead drops exactly the leading frames' events."""
+    import jax.numpy as jnp
+
+    from v2ce_toolbox_tpu.events import EventStream
+    from v2ce_toolbox_tpu.pipeline.driver import (
+        _decode_packed_events,
+        _flatten_chunk_stream,
+    )
+
+    frames, cap = 3, 2048
+    counts = np.array([10, 20, 30], np.int32)
+    t = np.full((frames, cap), np.iinfo(np.int32).max, np.int32)
+    for f in range(frames):
+        t[f, :counts[f]] = np.arange(counts[f], dtype=np.int32) * 7
+    zeros16 = np.zeros((frames, cap), np.int16)
+    s = EventStream(jnp.asarray(t), jnp.asarray(zeros16),
+                    jnp.asarray(zeros16),
+                    jnp.asarray(zeros16.astype(np.int8)),
+                    jnp.asarray(counts),
+                    jnp.zeros_like(jnp.asarray(counts)))
+    offsets = (np.arange(frames) * 33333).astype(np.int32)
+    packed, kept, exc_idx, exc_key, n_exc, _ = _flatten_chunk_stream(
+        s, jnp.asarray(offsets), frames, skip_lead=2)
+    n, m = int(kept), int(n_exc)
+    assert n == 30
+    ts, _, _, _ = _decode_packed_events(
+        np.asarray(packed[:n]), np.asarray(exc_idx[:m]),
+        np.asarray(exc_key[:m]))
+    np.testing.assert_array_equal(
+        ts, np.arange(30, dtype=np.int64) * 7 + 2 * 33333)

@@ -63,6 +63,46 @@ def test_train_main_smoke(tmp_path):
 
     rec = pickle.load(open(rec_dir / recs[0], "rb"))
     assert rec["pred_voxels"].shape == rec["gt_voxels"].shape
+    # preview panels are written by default each eval epoch
+    assert (tmp_path / "logs" / "smoke" / "previews" / "epoch0.png").exists()
+
+
+def test_train_main_8_devices(tmp_path):
+    """The full training driver end-to-end on the 8-device mesh: loader
+    sharding, train step collectives, eval, and checkpointing all run under
+    the mesh (round-2 gap: only dryrun_multichip exercised multi-device)."""
+    import json
+
+    import train_main
+    from v2ce_toolbox_tpu.data.dummy_data_gen import generate
+
+    data_dir = str(tmp_path / "data")
+    log_dir = str(tmp_path / "logs")
+    # 80 packets -> 8 val items: one full global batch of 8 for eval
+    generate(data_dir, num_packets=80, height=32, width=40,
+             events_per_frame=64)
+    train_main.main([
+        "--data_dir", data_dir,
+        "--log_dir", log_dir,
+        "--exp_name", "mesh8",
+        "--batch_size", "8",
+        "--seq_len", "2",
+        "--max_epochs", "1",
+        "--max_steps_per_epoch", "1",
+        "--num_workers", "1",
+        "--devices", "8",
+        "--base_num_channels", "8",
+        "--num_encoders", "2",
+        "--loss", "pyramid",
+        "--dump_previews", "false",
+    ])
+    lines = [json.loads(line) for line in
+             open(tmp_path / "logs" / "mesh8" / "metrics.jsonl")]
+    train_lines = [x["train"] for x in lines if "train" in x]
+    eval_lines = [x["eval"] for x in lines if "eval" in x]
+    assert train_lines and np.isfinite(train_lines[0]["loss"])
+    assert eval_lines and "BinaryMatchF1_sum_c" in eval_lines[0]
+    assert (tmp_path / "logs" / "mesh8" / "checkpoints" / "last").exists()
 
 
 def test_train_main_resume_and_previews(tmp_path):
@@ -92,3 +132,12 @@ def test_train_main_resume_and_previews(tmp_path):
     lines = [json.loads(line) for line in
              open(tmp_path / "logs" / "resumed" / "metrics.jsonl")]
     assert any("train" in x for x in lines)
+
+
+def test_dryrun_multihost_2x4():
+    """Multi-host data parallelism (reference capability: multi-node DDP,
+    train/main.py:192-195): 2 Gloo-backed processes x 4 virtual CPU
+    devices produce the same train-step loss as one 8-device process."""
+    import __graft_entry__ as g
+
+    g.dryrun_multihost(2, 4, port=23411)

@@ -590,6 +590,270 @@ def probe_window_two_jits():
 PROBES["window_two_jits"] = probe_window_two_jits
 
 
+
+
+def probe_roofline():
+    """Device speed-of-light references + every model conv layer in f32 and
+    bf16 XLA, to locate the conv3d plateau relative to the hardware peaks
+    rather than to other conv formulations."""
+    # 1. pure matmul peaks
+    for dt_name, dt in [("bf16", jnp.bfloat16), ("f32", jnp.float32)]:
+        m = k = n = 4096
+        rng = np.random.RandomState(0)
+        a = jnp.asarray(rng.rand(m, k).astype(np.float32)).astype(dt)
+        b = jnp.asarray(rng.rand(k, n).astype(np.float32)).astype(dt)
+
+        def mm(args):
+            aa, bb = args
+            return jnp.dot(aa, bb, preferred_element_type=jnp.float32)
+
+        t = timed_loop(mm, (a, b), n_iters=50)
+        print(f"matmul_{dt_name} 4096^3: {t*1e3:.3f} ms  "
+              f"{2*m*k*n/t/1e12:.1f} TF/s", flush=True)
+
+    # 2. HBM copy bandwidth
+    x = jnp.asarray(np.random.RandomState(0).rand(256, 1024, 1024)
+                    .astype(np.float32))          # 1 GiB
+
+    def cp(args):
+        return args[0] * 1.0000001
+
+    t = timed_loop(cp, (x,), n_iters=20)
+    print(f"hbm_rw 1GiB: {t*1e3:.2f} ms  {2*x.size*4/t/1e9:.0f} GB/s",
+          flush=True)
+
+    # 3. every 3x3x3 layer of the model (B=1, L=16)
+    layers = [
+        ("head", 260, 346, 2, 32, 1),
+        ("enc1_c1s2", 260, 346, 32, 64, 2),
+        ("enc1_c2", 130, 173, 64, 64, 1),
+        ("enc2_c1s2", 130, 173, 64, 128, 2),
+        ("enc2_c2", 65, 87, 128, 128, 1),
+        ("enc3_c1s2", 65, 87, 128, 256, 2),
+        ("enc3_c2", 33, 44, 256, 256, 1),
+        ("enc4_c1s2", 33, 44, 256, 512, 2),
+        ("enc4_c2", 17, 22, 512, 512, 1),
+        ("botl_c", 17, 22, 512, 512, 1),
+        ("dec0_c1", 33, 44, 768, 256, 1),
+        ("dec0_c2", 33, 44, 256, 256, 1),
+        ("dec1_c1", 65, 87, 384, 128, 1),
+        ("dec1_c2", 65, 87, 128, 128, 1),
+        ("dec2_c1", 130, 173, 192, 64, 1),
+        ("dec2_c2", 130, 173, 64, 64, 1),
+        ("dec3_c1", 260, 346, 96, 32, 1),
+        ("dec3_c2", 260, 346, 32, 32, 1),
+    ]
+    total = {"f32": 0.0, "bf16": 0.0}
+    for name, h, w, cin, cout, s in layers:
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.rand(1, 16, h, w, cin).astype(np.float32))
+        k = jnp.asarray(
+            rng.rand(3, 3, 3, cin, cout).astype(np.float32) * 0.01)
+        ho, wo = -(-h // s), -(-w // s)
+        flops = 2 * 16 * ho * wo * cin * cout * 27
+
+        for dt_name, dt in [("f32", jnp.float32), ("bf16", jnp.bfloat16)]:
+            def fn(args):
+                xx, kk = args
+                return lax.conv_general_dilated(
+                    xx.astype(dt), kk.astype(dt),
+                    window_strides=(1, s, s),
+                    padding=((1, 1),) * 3,
+                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                    preferred_element_type=jnp.float32)
+            try:
+                t = timed_loop(fn, (x, k), n_iters=10)
+                total[dt_name] += t
+                print(f"{name} {h}x{w} {cin}->{cout}s{s} {dt_name}: "
+                      f"{t*1e3:.2f} ms  {flops/t/1e12:.1f} TF/s", flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"{name} {dt_name}: FAILED {type(e).__name__}")
+    print(f"sum of layers: f32 {total['f32']*1e3:.1f} ms, "
+          f"bf16 {total['bf16']*1e3:.1f} ms", flush=True)
+
+
+PROBES["roofline"] = probe_roofline
+
+
+def probe_batch_scaling():
+    """Model forward at window batch B=1/2/4 (the reference README workload
+    runs -b 4): per-window amortization of the small-spatial layers."""
+    from v2ce_toolbox_tpu.config import ModelConfig
+    from v2ce_toolbox_tpu.models import V2ce3d
+
+    h, w = 260, 346
+    for dt_name, dt in [("f32", jnp.float32), ("bf16", jnp.bfloat16)]:
+        model = V2ce3d(config=ModelConfig(compute_dtype=dt))
+        x1 = jnp.asarray(np.random.RandomState(0)
+                         .rand(1, 16, h, w, 2).astype(np.float32))
+        variables = model.init(jax.random.key(0), x1[:, :3], train=False)
+        for b in (1, 2, 4):
+            x = jnp.broadcast_to(x1, (b, *x1.shape[1:])) + jnp.arange(
+                b, dtype=jnp.float32)[:, None, None, None, None] * 1e-6
+
+            def fn(xx):
+                return model.apply(variables, xx, train=False)
+
+            try:
+                t = timed_loop(fn, x, n_iters=10)
+                print(f"model B={b} {dt_name}: {t*1e3:.1f} ms "
+                      f"({b*16/t:.1f} fps, {t/b*1e3:.1f} ms/window)",
+                      flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"model B={b} {dt_name}: FAILED {type(e).__name__}: {e}",
+                      flush=True)
+
+
+PROBES["batch_scaling"] = probe_batch_scaling
+
+
+def probe_wpack():
+    """conv3d_wpack (width-packed (3,3,1) conv) vs native XLA conv3d on
+    the model's problem layers, f32 and bf16."""
+    from v2ce_toolbox_tpu.ops.wpack import conv3d_wpack
+
+    layers = [
+        ("head", 260, 346, 2, 32, (1, 1, 1)),
+        ("enc1_c1s2", 260, 346, 32, 64, (1, 2, 2)),
+        ("enc1_c2", 130, 173, 64, 64, (1, 1, 1)),
+        ("enc2_c1s2", 130, 173, 64, 128, (1, 2, 2)),
+        ("enc4_c1s2", 33, 44, 256, 512, (1, 2, 2)),
+        ("botl_c", 17, 22, 512, 512, (1, 1, 1)),
+        ("dec0_c1", 33, 44, 768, 256, (1, 1, 1)),
+        ("dec1_c1", 65, 87, 384, 128, (1, 1, 1)),
+        ("dec1_c2", 65, 87, 128, 128, (1, 1, 1)),
+        ("dec2_c1", 130, 173, 192, 64, (1, 1, 1)),
+        ("dec2_c2", 130, 173, 64, 64, (1, 1, 1)),
+        ("dec3_c1", 260, 346, 96, 32, (1, 1, 1)),
+        ("dec3_c2", 260, 346, 32, 32, (1, 1, 1)),
+    ]
+    for name, h, w, cin, cout, strides in layers:
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.rand(1, 16, h, w, cin).astype(np.float32))
+        k = jnp.asarray(
+            rng.rand(3, 3, 3, cin, cout).astype(np.float32) * 0.01)
+        ho, wo = -(-h // strides[1]), -(-w // strides[2])
+        flops = 2 * 16 * ho * wo * cin * cout * 27
+        for dt_name, dt in [("f32", jnp.float32), ("bf16", jnp.bfloat16)]:
+            def fn(args):
+                xx, kk = args
+                return conv3d_wpack(xx, kk, strides, compute_dtype=dt)
+            try:
+                t = timed_loop(fn, (x, k), n_iters=10)
+                print(f"wpack {name} {dt_name}: {t*1e3:.2f} ms  "
+                      f"{flops/t/1e12:.1f} TF/s", flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"wpack {name} {dt_name}: FAILED "
+                      f"{type(e).__name__}: {e}", flush=True)
+
+
+PROBES["wpack"] = probe_wpack
+
+
+def probe_compact_chunk():
+    """Roll-compactor rate vs chunk size at sampler grid scale (144 rows x
+    180k slots, 1 payload, 15% density): the 8192-chunk rate is grid-step
+    bound (PERF.md), so larger chunks should scale until VMEM binds."""
+    from v2ce_toolbox_tpu.ops.compact_pallas import INVALID, compact_rows
+
+    rng = np.random.RandomState(0)
+    r, n = 144, 180224               # 22 chunks of 8192
+    keys0 = np.where(rng.rand(r, n) < 0.15,
+                     rng.randint(0, 1 << 30, (r, n)),
+                     INVALID).astype(np.int32)
+    kx = rng.randint(0, 1 << 30, (r, n)).astype(np.int32)
+    kj, xj = jnp.asarray(keys0), jnp.asarray(kx)
+
+    def perturb(args, acc):
+        return tuple(a + (acc * 1e-12).astype(jnp.int32) for a in args)
+
+    for chunk in (8192, 16384, 32768, 65536):
+        def fn(args):
+            kk, px = args
+            o, (op,), kc, t = compact_rows(kk, [px], cap=1 << 15,
+                                           chunk=chunk)
+            return o[:, ::255].astype(jnp.int64).sum(), kc.sum()
+        try:
+            dt = timed_loop(fn, (kj, xj), n_iters=10, perturb=perturb)
+            print(f"compact chunk={chunk}: {dt*1e3:.2f} ms  "
+                  f"{r*n/dt/1e9:.2f} Gelem/s", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"compact chunk={chunk}: FAILED {type(e).__name__}: {e}",
+                  flush=True)
+
+    # keys-only (no payload) reference
+    for chunk in (8192, 32768):
+        def fn2(args):
+            kk, _ = args
+            o, _, kc, t = compact_rows(kk, cap=1 << 15, chunk=chunk)
+            return o[:, ::255].astype(jnp.int64).sum(), kc.sum()
+        try:
+            dt = timed_loop(fn2, (kj, xj), n_iters=10, perturb=perturb)
+            print(f"compact nopay chunk={chunk}: {dt*1e3:.2f} ms  "
+                  f"{r*n/dt/1e9:.2f} Gelem/s", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"compact nopay chunk={chunk}: FAILED "
+                  f"{type(e).__name__}: {e}", flush=True)
+
+
+PROBES["compact_chunk"] = probe_compact_chunk
+
+
+def probe_conv2d_decomp():
+    """conv3d = sum of 3 L-shifted conv2d over (B*L, H, W, C): XLA's 2D
+    conv path vs its 3D lowering on the problem layers."""
+    layers = [
+        ("head", 260, 346, 2, 32, 1),
+        ("enc1_c1s2", 260, 346, 32, 64, 2),
+        ("enc1_c2", 130, 173, 64, 64, 1),
+        ("dec2_c1", 130, 173, 192, 64, 1),
+        ("dec2_c2", 130, 173, 64, 64, 1),
+        ("dec3_c1", 260, 346, 96, 32, 1),
+        ("dec3_c2", 260, 346, 32, 32, 1),
+        ("botl_c", 17, 22, 512, 512, 1),
+        ("dec0_c1", 33, 44, 768, 256, 1),
+    ]
+    l = 16
+    for name, h, w, cin, cout, s in layers:
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.rand(1, l, h, w, cin).astype(np.float32))
+        k = jnp.asarray(
+            rng.rand(3, 3, 3, cin, cout).astype(np.float32) * 0.01)
+        ho, wo = -(-h // s), -(-w // s)
+        flops = 2 * l * ho * wo * cin * cout * 27
+
+        for dt_name, dt in [("f32", jnp.float32), ("bf16", jnp.bfloat16)]:
+            def fn(args):
+                xx, kk = args
+                xx = xx.astype(dt)
+                kk = kk.astype(dt)
+                b = xx.shape[0]
+                x2 = xx.reshape(b * l, h, w, cin)
+                outs = []
+                for dl in range(3):
+                    o = lax.conv_general_dilated(
+                        x2, kk[dl], window_strides=(s, s),
+                        padding=((1, 1), (1, 1)),
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                        preferred_element_type=jnp.float32)
+                    outs.append(o.reshape(b, l, ho, wo, cout))
+                # shift along L: out[l] += conv_dl(x[l + dl - 1])
+                out = outs[1]
+                out = out.at[:, 1:].add(outs[0][:, :-1])
+                out = out.at[:, :-1].add(outs[2][:, 1:])
+                return out
+            try:
+                t = timed_loop(fn, (x, k), n_iters=10)
+                print(f"c2d {name} {dt_name}: {t*1e3:.2f} ms  "
+                      f"{flops/t/1e12:.1f} TF/s", flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"c2d {name} {dt_name}: FAILED "
+                      f"{type(e).__name__}: {e}", flush=True)
+
+
+PROBES["conv2d_decomp"] = probe_conv2d_decomp
+
+
 if __name__ == "__main__":
     from v2ce_toolbox_tpu.utils.jax_setup import enable_compilation_cache
 

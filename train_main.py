@@ -41,6 +41,15 @@ def build_parser():
     g.add_argument("--max_epochs", default=100, type=int)
     g.add_argument("--devices", default=None, type=int,
                    help="number of chips for the data mesh (default: all)")
+    g.add_argument("--coordinator", default=None, type=str,
+                   help="multi-host coordinator address host:port "
+                        "(reference analog: multi-node DDP, "
+                        "train/main.py:192-195); None on TPU pods "
+                        "autodetects when --num_processes > 1")
+    g.add_argument("--num_processes", default=1, type=int,
+                   help="total number of host processes in the job")
+    g.add_argument("--process_id", default=0, type=int,
+                   help="this host's rank in [0, num_processes)")
 
     g = p.add_argument_group("LR and Scheduler")
     g.add_argument("--lr", default=1e-3, type=float)
@@ -71,6 +80,10 @@ def build_parser():
 
     g = p.add_argument_group("Model & Data")
     g.add_argument("--model_name", default="v2ce_3d", type=str)
+    g.add_argument("--base_num_channels", default=32, type=int,
+                   help="UNet3D base channel width (reference analog: "
+                        "model-size flags, train/main.py:151-166)")
+    g.add_argument("--num_encoders", default=4, type=int)
     g.add_argument("--dataset", default="event_pack_dataset", type=str)
     g.add_argument("--data_dir", default="dummy_data", type=str)
     g.add_argument("--seq_len", default=16, type=int)
@@ -78,9 +91,10 @@ def build_parser():
     g.add_argument("--random_flip", type=SBool, default=False, nargs="?", const=True)
     g.add_argument("--max_steps_per_epoch", default=0, type=int,
                    help="truncate epochs (0 = full epoch); smoke-test hook")
-    g.add_argument("--dump_previews", type=SBool, default=False, nargs="?",
-                   const=True, help="save pred/GT event-frame preview grids "
-                                    "each eval (TB image-callback analog)")
+    g.add_argument("--dump_previews", type=SBool, default=True, nargs="?",
+                   const=True, help="save input/GT/pred event-frame preview "
+                                    "grids each eval (TB image-callback "
+                                    "analog; on by default)")
     g.add_argument("--record_predictions", default=0, type=int,
                    help="dump this many val batches (pred + GT voxels) to "
                         "<workdir>/recorder each eval — feeds the stage-2 "
@@ -114,6 +128,13 @@ def main(argv=None):
     raise_cpu_collective_timeouts()
     enable_compilation_cache()
 
+    if args.num_processes > 1 or args.coordinator:
+        from v2ce_toolbox_tpu.parallel.mesh import init_distributed
+
+        init_distributed(args.coordinator, args.num_processes,
+                         args.process_id)
+    is_lead = jax.process_index() == 0
+
     exp = args.exp_name or time.strftime("%Y%m%d-%H%M%S")
     work_dir = op.join(args.log_dir, exp)
     os.makedirs(work_dir, exist_ok=True)
@@ -143,7 +164,9 @@ def main(argv=None):
     val_ds = EventPackDataset("val", args.data_dir, seq_len=args.seq_len)
     steps_per_epoch = max(len(train_ds) // args.batch_size, 1)
 
-    model = V2ce3d(config=ModelConfig())
+    model = V2ce3d(config=ModelConfig(
+        base_num_channels=args.base_num_channels,
+        num_encoders=args.num_encoders))
     use_gan = "gan" in args.loss
     disc = make_discriminator(args.gan_3d_conv) if use_gan else None
 
@@ -177,7 +200,11 @@ def main(argv=None):
                                mesh=mesh)
 
     best_f1 = -1.0
-    metrics_log = open(op.join(work_dir, "metrics.jsonl"), "a")
+    # host-side artifacts come from the lead process only (reference
+    # analog: rank-aware logging, train/scripts/utils/utils.py:122-130);
+    # checkpoint saves stay collective (orbax coordinates across hosts)
+    metrics_log = (open(op.join(work_dir, "metrics.jsonl"), "a")
+                   if is_lead else open(os.devnull, "w"))
 
     recorder_dir = op.join(work_dir, "recorder")
     predict = jax.jit(lambda s, b: model.apply(
@@ -191,7 +218,10 @@ def main(argv=None):
                                   num_workers=args.num_workers)
         for batch in device_prefetch(batches, mesh):
             m = eval_step(state, batch)
-            if n_b < args.record_predictions:
+            # recorder/preview dumps read the full batch on one host —
+            # single-process only (multi-host shards are not addressable)
+            one_proc = jax.process_count() == 1
+            if n_b < args.record_predictions and one_proc:
                 import pickle
 
                 os.makedirs(recorder_dir, exist_ok=True)
@@ -203,27 +233,39 @@ def main(argv=None):
                         "gt_voxels": np.asarray(batch["voxels"]),
                         "epoch": epoch,
                     }, f)
-                if args.dump_previews and n_b == 0:
-                    # event-frame preview grid (reference:
-                    # WritePlotsToTensorBoardCallBack, callbacks.py:72-162)
-                    import sys as _sys
+            if args.dump_previews and n_b == 0 and one_proc:
+                # input / GT / pred event-frame preview panel (reference:
+                # WritePlotsToTensorBoardCallBack, callbacks.py:72-162:
+                # pred_voxel_sum + target_voxel_sum + input_frame_0 + lfr)
+                import sys as _sys
 
-                    _sys.path.insert(0, op.dirname(op.abspath(__file__)))
-                    from tools.vis_tools import batch_show, event_frame_rgb
+                _sys.path.insert(0, op.dirname(op.abspath(__file__)))
+                from tools.vis_tools import batch_show, event_frame_rgb
 
-                    pv = np.asarray(pred[0])      # (L, H, W, 20)
-                    gv = np.asarray(batch["voxels"][0])
-                    imgs, titles = [], []
-                    for i in range(0, pv.shape[0], max(pv.shape[0] // 4, 1)):
-                        ref_layout = lambda a: np.moveaxis(
-                            a[i], -1, 0).reshape(2, 10, *a.shape[1:3])
-                        imgs += [event_frame_rgb(ref_layout(pv)),
-                                 event_frame_rgb(ref_layout(gv))]
-                        titles += [f"pred f{i}", f"gt f{i}"]
-                    os.makedirs(op.join(work_dir, "previews"), exist_ok=True)
-                    batch_show(imgs, cols=2, titles=titles,
-                               save_path=op.join(work_dir, "previews",
-                                                 f"epoch{epoch}.png"))
+                pred = predict(state, batch)
+                pv = np.asarray(pred[0])      # (L, H, W, 20)
+                gv = np.asarray(batch["voxels"][0])
+                frames = np.asarray(batch["image_units"][0])  # (L, H, W, 2)
+                lfr = (np.asarray(batch["lfr"][0])
+                       if "lfr" in batch else None)
+                imgs, titles = [], []
+                for i in range(0, pv.shape[0], max(pv.shape[0] // 4, 1)):
+                    ref_layout = lambda a: np.moveaxis(
+                        a[i], -1, 0).reshape(2, 10, *a.shape[1:3])
+                    # denormalize the input frame (callbacks.py:132)
+                    imgs.append(np.clip(
+                        frames[i, :, :, 0] * 0.165 + 0.153, 0, 1))
+                    imgs += [event_frame_rgb(ref_layout(gv)),
+                             event_frame_rgb(ref_layout(pv))]
+                    titles += [f"input f{i}", f"gt f{i}", f"pred f{i}"]
+                if lfr is not None:
+                    rng_ = np.ptp(lfr[0]) or 1.0
+                    imgs.append((lfr[0, :, :, 0] - lfr[0].min()) / rng_)
+                    titles.append("lfr f0")
+                os.makedirs(op.join(work_dir, "previews"), exist_ok=True)
+                batch_show(imgs, cols=3, titles=titles,
+                           save_path=op.join(work_dir, "previews",
+                                             f"epoch{epoch}.png"))
             for k, v in m.items():
                 agg[k] = agg.get(k, 0.0) + float(v)
             n_b += 1

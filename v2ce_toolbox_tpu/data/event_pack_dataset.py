@@ -53,6 +53,19 @@ def split_paths(
     }
 
 
+def apply_illum_augmentation(
+    image: np.ndarray,
+    rng: np.random.RandomState,
+    gain_range: Tuple[float, float] = (0.8, 1.2),
+    gamma_range: Tuple[float, float] = (0.8, 1.2),
+) -> np.ndarray:
+    """Random global gain/gamma on [0, 1] images, one draw per sequence
+    (reference: train/scripts/utils/data_utils.py:41-45)."""
+    gamma = gamma_range[0] + rng.rand() * (gamma_range[1] - gamma_range[0])
+    gain = gain_range[0] + rng.rand() * (gain_range[1] - gain_range[0])
+    return np.clip(gain * np.power(image, gamma), 0.0, 1.0)
+
+
 class EventPackDataset:
     def __init__(
         self,
@@ -68,6 +81,7 @@ class EventPackDataset:
         seed: int = 2333,
         include_flows: bool = True,
         include_lfr: bool = True,
+        illum_aug: bool = False,
     ):
         assert mode in ("train", "val", "test")
         self.mode = mode
@@ -79,6 +93,7 @@ class EventPackDataset:
         self.flip_y_prob = flip_y_prob
         self.include_flows = include_flows
         self.include_lfr = include_lfr
+        self.illum_aug = illum_aug
         self.data_paths = split_paths(data_dir, seed=seed)[mode]
         self.partial_dataset = partial_dataset
         self._rng = np.random.RandomState(seed + hash(mode) % 1000)
@@ -93,7 +108,10 @@ class EventPackDataset:
         images = packet["images"]                       # (17, H, W) uint8
         # pair-stack + normalize (reference: event_pack_dataset.py:66-75)
         units = np.stack([images[:-1], images[1:]], axis=-1).astype(np.float32)
-        units = (units / 255.0 - FRAME_MEAN) / FRAME_STD  # (16, H, W, 2)
+        units = units / 255.0                           # (16, H, W, 2)
+        if self.mode == "train" and self.illum_aug:
+            units = apply_illum_augmentation(units, self._rng)
+        units = (units - FRAME_MEAN) / FRAME_STD
 
         h, w = images.shape[1:]   # actual packet geometry
         voxels = np.stack(

@@ -33,11 +33,25 @@ Dtype = jnp.dtype
 
 def _apply_conv(x: jax.Array, kernel: jax.Array, strides, padding,
                 compute_dtype, conv_impl: str) -> jax.Array:
-    """Dispatch a conv to the Pallas implicit-GEMM kernel when it fits its
-    shape class (3x3x3, stride 1, 'same', 3D, >=16 input channels — the
-    model's hot layers, 91% of forward FLOPs; see ops/conv3d_pallas.py for
-    the measured rationale) else to XLA. Output is f32 either way."""
+    """Dispatch a conv to one of three backends; output is f32 either way.
+
+    'wpack': width-packed (3,3,1)-conv rewrite (ops/wpack.py) for every
+      3x3x3 'same' conv incl. the (1,2,2)-strided encoders — fills the
+      MXU's K/N dims on the small-Cout and strided layers where the
+      native conv3d lowering runs at 10-30% of matmul peak (measured,
+      tools/perf_probe.py roofline/wpack). Differentiable.
+    'pallas': implicit-GEMM Mosaic kernel for the stride-1 3x3x3 class
+      (forward-only; see ops/conv3d_pallas.py).
+    'xla': native lax.conv path."""
     ndim_sp = kernel.ndim - 2
+    if (conv_impl == "wpack" and ndim_sp == 3
+            and kernel.shape[:3] == (3, 3, 3)
+            and strides[0] == 1
+            and tuple(padding) == ((1, 1), (1, 1), (1, 1))):
+        from v2ce_toolbox_tpu.ops.wpack import conv3d_wpack
+
+        return conv3d_wpack(x, kernel, tuple(strides),
+                            compute_dtype=compute_dtype)
     if (conv_impl == "pallas" and ndim_sp == 3
             and kernel.shape[:3] == (3, 3, 3)
             and tuple(strides) == (1, 1, 1)

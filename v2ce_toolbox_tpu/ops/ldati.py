@@ -658,6 +658,12 @@ def _sample_events_v3(
     mepv = max_events_per_voxel
     vox_mask = (1 << vox_bits) - 1
     ts_cap = (1 << (31 - vox_bits)) - 2
+    # the multi-pool ordering key packs the slot iota into the low 22 bits;
+    # a larger pool would overflow into the extra field and silently break
+    # the descending-extra tier priority
+    assert multi_cap < (1 << 22), (
+        f"multi_cap={multi_cap} must fit the 22-bit slot field of the "
+        "multi-pool ordering key")
 
     def frame_order(a):
         return frame_order_voxels(a, bb, p, cb, h, w).reshape(f, cb, seg)
@@ -699,7 +705,8 @@ def _sample_events_v3(
         kx = (kx & ~jnp.int32(0xFF)) | extra
         payloads = [frame_order(kx).reshape(f * cb, seg)]
 
-    chunk = 8192    # measured: 2.2 Gelem/s vs 1.2 at 2048 (grid-step overhead)
+    chunk = 16384   # measured (round 3, compact_chunk probe): 2.24 Gelem/s
+                    # at 16384 vs 2.13 at 8192 and 1.93 at 32768
     chain_keys, chain_pays, _, _ = compact_rows(
         keys0, payloads, cap=cap_bin, chunk=chunk)
     rows = [chain_keys]
@@ -727,13 +734,16 @@ def _sample_events_v3(
         mk_f = lax.bitcast_convert_type(mkx & ~jnp.int32(0xFF), jnp.float32)
         mb_f = 1.0 / voxel_step - voxel_step * mk_f / 2.0
 
-        # tiered extra-slot sizing: full pool for slots 1-3, then halving
-        # with a 256 floor (extras get exponentially rarer with j; any
-        # voxel beyond its tier surfaces in `dropped`)
+        # tiered extra-slot sizing: full pool for slots 1-2, halving from
+        # slot 3 with a 256 floor (extras get exponentially rarer with j;
+        # any voxel beyond its tier surfaces in `dropped`). NOTE: the v2
+        # compact_frame_events tier halves from slot 4 (j <= 3 full) — v3
+        # trades that tail coverage for a narrower sort; the difference is
+        # accounted exactly in `dropped`.
         def tier(j):
             if j <= 2:
                 return mc
-            return min(mc, max(multi_cap >> (j - 2), 256))
+            return min(mc, max(multi_cap >> (j - 2), 128))
 
         for j in range(1, mepv):
             n_j = tier(j)
@@ -770,7 +780,9 @@ def _sample_events_v3(
                      * 1e6).astype(jnp.int32)
     t_us = jnp.where(out_rel != _INV, out_rel + bin_start_dec, _INT32_MAX)
 
-    total_emit = emit_f.astype(jnp.int64).sum(axis=(1, 2)).astype(jnp.int32)
+    # per-frame emit totals are bounded by cb*seg*mepv <= ~26M per frame,
+    # far inside int32 — sum in int32 (int64 is unavailable without x64)
+    total_emit = emit_f.sum(axis=(1, 2), dtype=jnp.int32)
     cap_dropped = jnp.where(counts > mepv, counts - mepv, 0)
     if strategy == "none":
         cap_dropped = jnp.zeros_like(cap_dropped)
@@ -806,7 +818,7 @@ def sample_events(
     max_multi_voxels: int = 1 << 16,
     capacity: int = 1 << 19,
     use_v3: bool = True,
-    cap_bin: int = 1 << 15,
+    cap_bin: int = 1 << 14,
     multi_cap: int = 4096,
 ) -> EventStream:
     """Sample a timestamped event stream from predicted voxels — the

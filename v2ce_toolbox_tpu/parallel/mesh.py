@@ -22,6 +22,32 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-process (multi-host) startup — the TPU-native replacement for
+    the reference's multi-node Lightning DDP launch
+    (reference: train/main.py:192-195, one NCCL process per GPU).
+
+    After this returns, jax.devices() is the GLOBAL device list across all
+    processes and a Mesh built over it compiles collectives over ICI (TPU)
+    or Gloo (CPU test fixture: 2 processes x N virtual devices). On real
+    TPU pods the three arguments can all be None — jax autodetects the
+    coordinator from the TPU metadata; on CPU/GPU they are required.
+
+    No-op when num_processes == 1 and no coordinator is given.
+    """
+    if coordinator_address is None and (num_processes or 1) == 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def make_mesh(
     n_devices: Optional[int] = None,
     axis_names: Sequence[str] = ("data", "model"),
@@ -48,7 +74,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a host batch pytree with axis-0 'data' sharding."""
-    return jax.tree.map(
-        lambda x: jax.device_put(x, batch_sharding(mesh, ndim=x.ndim)), batch
-    )
+    """Device-put a host batch pytree with axis-0 'data' sharding.
+
+    Works in both single- and multi-process meshes: every process passes
+    the same GLOBAL batch (loaders are seeded identically across hosts,
+    like DDP's per-rank deterministic sampler) and only the locally
+    addressable shards are materialized on each host.
+    """
+    if jax.process_count() == 1:
+        return jax.tree.map(
+            lambda x: jax.device_put(x, batch_sharding(mesh, ndim=x.ndim)),
+            batch,
+        )
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(
+            x.shape, batch_sharding(mesh, ndim=x.ndim),
+            lambda idx: x[idx])
+
+    return jax.tree.map(put, batch)

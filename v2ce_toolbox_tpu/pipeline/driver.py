@@ -38,15 +38,30 @@ from v2ce_toolbox_tpu.pipeline.windows import plan_windows
 import functools
 
 
+# Delta-encoded event wire format (device -> host). The event stream is
+# nondecreasing in time, with a sub-µs mean inter-event gap on dense
+# footage, so the int32 absolute-µs key compresses to a 12-bit delta
+# riding in ONE int32 word with the (x, y, p) payload:
+#   bits 19..30: delta µs vs previous event (DELTA_MARKER = exception)
+#   bits 10..18: x, bits 1..9: y, bit 0: polarity
+# Events whose delta does not fit (window starts, empty-scene gaps) land
+# in a small (index, absolute key) exception list, patched on the host.
+# Halves the dominant device->host transfer term of the CLI (8 B/event
+# -> 4 B + ~0.1% exceptions; see PERF.md round-2 tunnel analysis).
+DELTA_MARKER = (1 << 12) - 1
+_EXC_CAP = 1 << 15
+
+
 @functools.partial(jax.jit, static_argnames=("frames", "skip_lead"))
 def _flatten_chunk_stream(s: EventStream, offsets_us: jax.Array,
                           frames: int, skip_lead: int = 0):
     """Device-side flatten of a chunk's per-frame event buffers into one
-    valid-prefix stream: absolute int32 µs keys (frame offset added) and
-    (x << 16 | y << 1 | p) payloads, roll-compacted so the host fetches
-    only `kept` events instead of frames x capacity buffer slots.
-    `skip_lead` drops the first frames (the streaming path's last window
-    re-emits only its non-overlapping tail, like merge_voxels)."""
+    valid-prefix delta-encoded stream (wire format above), roll-compacted
+    so the host fetches only `kept` words instead of frames x capacity
+    buffer slots. `skip_lead` drops the first frames (the streaming path's
+    last window re-emits only its non-overlapping tail, like merge_voxels).
+
+    Returns (packed, kept, exc_idx, exc_key, n_exc)."""
     from v2ce_toolbox_tpu.ops.compact_pallas import INVALID, compact_rows
 
     t_us = s.t_us[:frames]
@@ -59,13 +74,42 @@ def _flatten_chunk_stream(s: EventStream, offsets_us: jax.Array,
     keys = jnp.where(valid, t_us + offsets_us[:frames, None], INVALID)
     payload = jnp.where(
         valid,
-        (s.x[:frames].astype(jnp.int32) << 16)
+        (s.x[:frames].astype(jnp.int32) << 10)
         | (s.y[:frames].astype(jnp.int32) << 1)
         | s.p[:frames].astype(jnp.int32), 0)
     out_k, (out_p,), kept, _ = compact_rows(
         keys.reshape(1, frames * cap), [payload.reshape(1, frames * cap)],
         cap=frames * cap, chunk=8192)
-    return out_k[0], out_p[0], kept[0]
+    out_k, out_p, kept = out_k[0], out_p[0], kept[0]
+
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, out_k.shape[0]), 1)[0]
+    in_prefix = idx < kept
+    prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), out_k[:-1]])
+    delta = out_k - prev                  # first event: its absolute key
+    is_exc = in_prefix & ((delta < 0) | (delta >= DELTA_MARKER))
+    delta_enc = jnp.where(is_exc, DELTA_MARKER, jnp.maximum(delta, 0))
+    packed = jnp.where(in_prefix, (delta_enc << 19) | out_p, 0)
+
+    exc_keys_in = jnp.where(is_exc, idx, INVALID)
+    exc_idx, (exc_key,), n_exc, exc_total = compact_rows(
+        exc_keys_in[None], [out_k[None]], cap=_EXC_CAP, chunk=2048)
+    return packed, kept, exc_idx[0], exc_key[0], n_exc[0], exc_total[0]
+
+
+def _decode_packed_events(packed: np.ndarray, exc_idx: np.ndarray,
+                          exc_key: np.ndarray):
+    """Host-side decode of the delta wire format: returns (t_us int64, x,
+    y, p). `packed` must already be sliced to the kept length; exc arrays
+    to n_exc."""
+    pk = np.asarray(packed)
+    delta = (pk >> 19) & 0xFFF
+    x = ((pk >> 10) & 0x1FF).astype(np.int16)
+    y = ((pk >> 1) & 0x1FF).astype(np.int16)
+    p = (pk & 1).astype(np.int8)
+    ts = np.cumsum(delta.astype(np.int64))
+    for i, k in zip(np.asarray(exc_idx), np.asarray(exc_key)):
+        ts[i:] += int(k) - ts[i]
+    return ts, x, y, p
 
 logger = logging.getLogger(__name__)
 
@@ -278,19 +322,20 @@ class V2cePipeline:
             offsets64 = ((np.arange(chunk) + base) / cfg.fps * 1e6
                          ).astype(np.int64)
             if flat_ok:
-                keys, payload, kept = _flatten_chunk_stream(
-                    s, jnp.asarray(offsets64.astype(np.int32)), frames)
+                packed, kept, exc_idx, exc_key, n_exc, exc_total = (
+                    _flatten_chunk_stream(
+                        s, jnp.asarray(offsets64.astype(np.int32)), frames))
                 n = int(kept)
+                assert int(exc_total) == (m := int(n_exc)) <= _EXC_CAP
                 # exact-length fetch: through the ~0.5 MB/s axon tunnel
                 # the transfer volume dominates wall clock (quantizing the
                 # slice length to reuse compiled shapes fetched 2.4x more
                 # bytes and measured slower end to end)
+                ts, x_, y_, p_ = _decode_packed_events(
+                    packed[:n], exc_idx[:m], exc_key[:m])
                 out = np.zeros(n, dtype=EVENT_DTYPE)
-                out["timestamp"] = np.asarray(keys[:n]).astype(np.int64)
-                pl = np.asarray(payload[:n])
-                out["x"] = (pl >> 16).astype(np.int16)
-                out["y"] = ((pl >> 1) & 0x7FFF).astype(np.int16)
-                out["polarity"] = (pl & 1).astype(np.int8)
+                out["timestamp"] = ts
+                out["x"], out["y"], out["polarity"] = x_, y_, p_
                 parts.append(out)
             else:
                 parts.append(pack_event_stream(
@@ -448,8 +493,7 @@ class V2cePipeline:
                 cfg.seq_len, 2, vox.shape[-1] // 2, *vox.shape[1:3])
 
             is_last = i == len(starts) - 1
-            skip = (cfg.seq_len - mode) if (is_last and mode and
-                                            len(starts) > 1) else 0
+            skip = (cfg.seq_len - mode) if (is_last and mode) else 0
             s = sample_events(
                 v, jax.random.fold_in(key, i),
                 fps=cfg.fps,
@@ -462,17 +506,18 @@ class V2cePipeline:
             )
             offsets = ((np.arange(cfg.seq_len) + int(start)) / cfg.fps
                        * 1e6).astype(np.int32)
-            keys_d, payload_d, kept = _flatten_chunk_stream(
-                s, jnp.asarray(offsets), cfg.seq_len, skip_lead=skip)
+            packed, kept, exc_idx, exc_key, n_exc, exc_total = (
+                _flatten_chunk_stream(
+                    s, jnp.asarray(offsets), cfg.seq_len, skip_lead=skip))
             if cfg.write_event_frame_video:
                 ef_sums.append(v.sum(axis=2)[skip:])    # (16-skip, 2, H, W)
             n = int(kept)
+            assert int(exc_total) == (m := int(n_exc)) <= _EXC_CAP
+            ts, x_, y_, p_ = _decode_packed_events(
+                packed[:n], exc_idx[:m], exc_key[:m])
             out = np.zeros(n, dtype=EVENT_DTYPE)
-            out["timestamp"] = np.asarray(keys_d[:n]).astype(np.int64)
-            pl = np.asarray(payload_d[:n])
-            out["x"] = (pl >> 16).astype(np.int16)
-            out["y"] = ((pl >> 1) & 0x7FFF).astype(np.int16)
-            out["polarity"] = (pl & 1).astype(np.int8)
+            out["timestamp"] = ts
+            out["x"], out["y"], out["polarity"] = x_, y_, p_
             parts.append(out)
         if vidcap is not None:
             vidcap.close()

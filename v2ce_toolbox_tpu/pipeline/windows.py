@@ -31,6 +31,13 @@ def plan_windows(frame_count: int, seq_len: int = 16) -> Tuple[np.ndarray, int]:
     starting_indexes = np.arange(sequence_num) * seq_len
     if mode != 0:
         starting_indexes[-1] -= seq_len - mode
+    if starting_indexes[-1] < 0:
+        # A video with fewer than seq_len+1 frames cannot fill one window;
+        # the reference's arithmetic (v2ce.py:150-154) silently produces a
+        # negative start here and reads garbage — fail loudly instead.
+        raise ValueError(
+            f"frame_count={frame_count} is too short for seq_len={seq_len}: "
+            f"need at least {seq_len + 1} frames")
     return starting_indexes, mode
 
 

@@ -72,6 +72,10 @@ def make_train_step(
     matching auxiliary outputs. When `mesh` is given the step is jitted with
     batch sharded over 'data' and state replicated.
     """
+    if getattr(getattr(model, "config", None), "conv_impl", "xla") == "pallas":
+        raise ValueError(
+            "conv_impl='pallas' is forward-only (no custom VJP); "
+            "use conv_impl='xla' for training")
     loss_names = tuple(cfg.loss.split("+"))
     tx = make_optimizer(cfg, steps_per_epoch)
     disc_tx = make_disc_optimizer() if disc is not None else None
