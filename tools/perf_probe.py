@@ -854,6 +854,149 @@ def probe_conv2d_decomp():
 PROBES["conv2d_decomp"] = probe_conv2d_decomp
 
 
+def probe_quad():
+    """conv3d_quad (quad-packed Pallas implicit GEMM) on the model's
+    stride-1 3x3x3 layers, vs the XLA native numbers in the roofline
+    probe."""
+    from v2ce_toolbox_tpu.ops.conv3d_quad import conv3d_quad
+
+    layers = [
+        ("enc1_c2", 130, 173, 64, 64),
+        ("enc2_c2", 65, 87, 128, 128),
+        ("enc3_c2", 33, 44, 256, 256),
+        ("enc4_c2", 17, 22, 512, 512),
+        ("botl_c", 17, 22, 512, 512),
+        ("dec0_c1", 33, 44, 768, 256),
+        ("dec0_c2", 33, 44, 256, 256),
+        ("dec1_c1", 65, 87, 384, 128),
+        ("dec1_c2", 65, 87, 128, 128),
+        ("dec2_c1", 130, 173, 192, 64),
+        ("dec2_c2", 130, 173, 64, 64),
+        ("dec3_c1", 260, 346, 96, 32),
+        ("dec3_c2", 260, 346, 32, 32),
+    ]
+    for name, h, w, cin, cout in layers:
+        rng = np.random.RandomState(0)
+        flops = 2 * 16 * h * w * cin * cout * 27
+        for dt_name, dt in [("bf16", jnp.bfloat16), ("f32", jnp.float32)]:
+            x = jnp.asarray(rng.rand(1, 16, h, w, cin)
+                            .astype(np.float32)).astype(dt)
+            k = jnp.asarray(rng.rand(3, 3, 3, cin, cout)
+                            .astype(np.float32) * 0.01).astype(dt)
+
+            def fn(args):
+                xx, kk = args
+                return conv3d_quad(xx, kk)
+            try:
+                t = timed_loop(fn, (x, k), n_iters=10)
+                print(f"quad {name} {dt_name}: {t*1e3:.2f} ms  "
+                      f"{flops/t/1e12:.1f} TF/s", flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"quad {name} {dt_name}: FAILED "
+                      f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+
+
+PROBES["quad"] = probe_quad
+
+
+def probe_quad_s2():
+    """conv3d_quad_s122 (phase-folded strided quad conv) on the encoder
+    downsampling layers."""
+    from v2ce_toolbox_tpu.ops.conv3d_quad import conv3d_quad_s122
+
+    layers = [
+        ("enc1_c1s2", 260, 346, 32, 64),
+        ("enc2_c1s2", 130, 173, 64, 128),
+        ("enc3_c1s2", 65, 87, 128, 256),
+        ("enc4_c1s2", 33, 44, 256, 512),
+    ]
+    for name, h, w, cin, cout in layers:
+        rng = np.random.RandomState(0)
+        ho, wo = -(-h // 2), -(-w // 2)
+        flops = 2 * 16 * ho * wo * cin * cout * 27
+        for dt_name, dt in [("bf16", jnp.bfloat16)]:
+            x = jnp.asarray(rng.rand(1, 16, h, w, cin)
+                            .astype(np.float32)).astype(dt)
+            k = jnp.asarray(rng.rand(3, 3, 3, cin, cout)
+                            .astype(np.float32) * 0.01).astype(dt)
+
+            def fn(args):
+                xx, kk = args
+                return conv3d_quad_s122(xx, kk)
+            try:
+                t = timed_loop(fn, (x, k), n_iters=10)
+                print(f"quad_s2 {name} {dt_name}: {t*1e3:.2f} ms  "
+                      f"{flops/t/1e12:.1f} TF/s", flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"quad_s2 {name} {dt_name}: FAILED "
+                      f"{type(e).__name__}: {str(e)[:150]}", flush=True)
+
+
+PROBES["quad_s2"] = probe_quad_s2
+
+
+def probe_model_knockout():
+    """True in-model cost of each conv group: run the real model with a
+    group's 3x3x3 convs replaced by their center tap (shape-preserving)
+    and read the group cost off the delta vs the full model."""
+    for label in ("xla", "ko:all", "ko:head", "ko:strided", "ko:small",
+                  "ko:big"):
+        probe_model(jnp.bfloat16, label=f"model[{label}]", conv_impl=label)
+
+
+PROBES["model_knockout"] = probe_model_knockout
+
+
+def probe_model_overhead():
+    """Decompose the non-conv3d half of the model time: SN recompute,
+    BN, and their combination, on the bf16 model."""
+    probe_model(jnp.bfloat16, label="model[bf16]")
+    probe_model(jnp.bfloat16, label="model[no_sn]", spectral_norm=False)
+    probe_model(jnp.bfloat16, label="model[no_bn]", norm=None)
+    probe_model(jnp.bfloat16, label="model[no_sn_no_bn]",
+                spectral_norm=False, norm=None)
+    probe_model(jnp.bfloat16, label="model[ko:all,no_sn,no_bn]",
+                conv_impl="ko:all", spectral_norm=False, norm=None)
+
+
+PROBES["model_overhead"] = probe_model_overhead
+
+
+def probe_quad_sweep():
+    """Tile sweep of conv3d_quad on the two hottest small-Cout layers."""
+    from v2ce_toolbox_tpu.ops.conv3d_quad import conv3d_quad
+
+    cases = [
+        ("dec3_c1", 260, 346, 96, 32, [
+            (16, 4, 32), (16, 2, 48), (8, 8, 32), (8, 4, 48),
+            (4, 16, 32), (4, 8, 48), (2, 8, 96), None]),
+        ("dec2_c1", 130, 173, 192, 64, [
+            (16, 4, 32), (8, 8, 32), (8, 4, 48), (4, 16, 32),
+            (2, 16, 48), None]),
+    ]
+    for name, h, w, cin, cout, tiless in cases:
+        rng = np.random.RandomState(0)
+        flops = 2 * 16 * h * w * cin * cout * 27
+        x = jnp.asarray(rng.rand(1, 16, h, w, cin)
+                        .astype(np.float32)).astype(jnp.bfloat16)
+        k = jnp.asarray(rng.rand(3, 3, 3, cin, cout)
+                        .astype(np.float32) * 0.01).astype(jnp.bfloat16)
+        for tiles in tiless:
+            def fn(args):
+                xx, kk = args
+                return conv3d_quad(xx, kk, tiles=tiles)
+            try:
+                t = timed_loop(fn, (x, k), n_iters=10)
+                print(f"qsweep {name} tiles={tiles}: {t*1e3:.2f} ms  "
+                      f"{flops/t/1e12:.1f} TF/s", flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"qsweep {name} tiles={tiles}: FAILED "
+                      f"{type(e).__name__}: {str(e)[:120]}", flush=True)
+
+
+PROBES["quad_sweep"] = probe_quad_sweep
+
+
 if __name__ == "__main__":
     from v2ce_toolbox_tpu.utils.jax_setup import enable_compilation_cache
 

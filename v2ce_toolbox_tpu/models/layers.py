@@ -44,6 +44,29 @@ def _apply_conv(x: jax.Array, kernel: jax.Array, strides, padding,
       (forward-only; see ops/conv3d_pallas.py).
     'xla': native lax.conv path."""
     ndim_sp = kernel.ndim - 2
+    if conv_impl.startswith("ko:") and ndim_sp == 3 \
+            and kernel.shape[:3] == (3, 3, 3):
+        # knockout profiling (tools/perf_probe.py model_knockout): replace
+        # selected 3x3x3 convs with their center tap so the group's true
+        # in-model cost reads off the model-time delta
+        pred = conv_impl[3:]
+        cin, cout = kernel.shape[3], kernel.shape[4]
+        strided = tuple(strides) != (1, 1, 1)
+        hit = {
+            "all": True,
+            "head": cin == 2,
+            "strided": strided,
+            "small": (not strided) and cout < 128 and cin > 2,
+            "big": (not strided) and cin >= 256,
+        }[pred]
+        if hit:
+            return jax.lax.conv_general_dilated(
+                x.astype(compute_dtype),
+                kernel[1:2, 1:2, 1:2].astype(compute_dtype),
+                window_strides=strides, padding=[(0, 0)] * 3,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                preferred_element_type=jnp.float32)
+        conv_impl = "xla"
     if (conv_impl == "wpack" and ndim_sp == 3
             and kernel.shape[:3] == (3, 3, 3)
             and strides[0] == 1
