@@ -1,0 +1,73 @@
+"""Round-3 model rewrites are exact and parameter-compatible.
+
+Each rewrite (decoder_split, out_layout='cm', conv_impl='fold') keeps the
+parameter tree of the baseline model, so one set of init variables drives
+every variant; outputs must agree to float-reassociation tolerance
+(reference layer set: scripts/unet_2layer.py:203-378)."""
+
+import numpy as np
+import pytest
+
+from tests import conftest as _cf  # noqa: F401  (forces cpu)
+
+import jax
+import jax.numpy as jnp
+
+from v2ce_toolbox_tpu.config import ModelConfig
+from v2ce_toolbox_tpu.models import V2ce3d
+
+
+@pytest.fixture(scope="module")
+def base_setup():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(1, 4, 48, 64, 2).astype(np.float32))
+    model = V2ce3d(config=ModelConfig())
+    variables = model.init(jax.random.key(0), x, train=False)
+    y = model.apply(variables, x, train=False)
+    return x, variables, y
+
+
+@pytest.mark.parametrize("kw", [
+    {"decoder_split": True},
+    {"out_layout": "cm"},
+    {"conv_impl": "fold"},
+    {"decoder_split": True, "out_layout": "cm", "conv_impl": "fold"},
+], ids=["split", "cm", "fold", "all"])
+def test_rewrite_matches_baseline(base_setup, kw):
+    x, variables, y_base = base_setup
+    model = V2ce3d(config=ModelConfig(**kw))
+    y = model.apply(variables, x, train=False)
+    if kw.get("out_layout") == "cm":
+        assert y.shape == (1, 4, 20, 48, 64)
+        y = jnp.transpose(y, (0, 1, 3, 4, 2))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_base),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_rewrites_differentiable(base_setup):
+    # fold + split stay on the lax.conv path, so training works through
+    # them (unlike conv_impl='pallas', which is forward-only)
+    x, variables, _ = base_setup
+    model = V2ce3d(config=ModelConfig(decoder_split=True, conv_impl="fold"))
+
+    def loss(params):
+        v = {**variables, "params": params}
+        y, _ = model.apply(v, x, train=True,
+                           mutable=["batch_stats", "sn"])
+        return jnp.mean(y * y)
+
+    g = jax.grad(loss)(variables["params"])
+    flat = jax.tree.leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in flat)
+    assert any(float(jnp.abs(l).max()) > 0 for l in flat)
+
+
+def test_train_step_rejects_pallas_only():
+    # guard from ADVICE r2: building a train step on the forward-only
+    # pallas conv must raise a clear error instead of failing in trace
+    from v2ce_toolbox_tpu.train.step import make_train_step
+    from v2ce_toolbox_tpu.config import TrainConfig
+
+    with pytest.raises(ValueError, match="pallas"):
+        make_train_step(V2ce3d(config=ModelConfig(conv_impl="pallas")),
+                        TrainConfig())

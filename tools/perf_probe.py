@@ -997,6 +997,216 @@ def probe_quad_sweep():
 PROBES["quad_sweep"] = probe_quad_sweep
 
 
+
+
+def probe_boundary():
+    """Round-3 boundary formulations: the trace_attrib profile shows the
+    model's time concentrated at the C<128 network edges (head, pred,
+    concat, strided enc0), where channels-minor tensors waste lanes
+    (minor dim pads to 128). Each probe measures the current formulation
+    vs a lane-dense rewrite; exactness is asserted in-probe."""
+    rng = np.random.RandomState(0)
+
+    # --- pred: (1,16,260,346,32) bf16 -> channel-major (16,2,10,260,346) f32
+    x32 = jnp.asarray(rng.rand(1, 16, 260, 346, 32).astype(np.float32))
+    kp = jnp.asarray(rng.rand(1, 1, 1, 32, 20).astype(np.float32) * 0.1)
+
+    def pred_cur(args):
+        x, k = args
+        y = lax.conv_general_dilated(
+            x.astype(jnp.bfloat16), k.astype(jnp.bfloat16), (1, 1, 1),
+            [(0, 0)] * 3, dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.float32)
+        y = jax.nn.relu(y)
+        v = jnp.transpose(y[0], (0, 3, 1, 2)).reshape(16, 2, 10, 260, 346)
+        return v
+
+    def pred_cm(args):
+        x, k = args
+        # transpose the 32-ch input first (dense relayout), 1x1 conv as
+        # NCHW GEMM with W-minor output
+        xt = jnp.transpose(x[0], (0, 3, 1, 2)).astype(jnp.bfloat16)
+        y = lax.conv_general_dilated(
+            xt, k[0, 0, 0].astype(jnp.bfloat16)[:, :, None, None], (1, 1),
+            [(0, 0)] * 2, dimension_numbers=("NCHW", "IOHW", "NCHW"),
+            preferred_element_type=jnp.float32)
+        y = jax.nn.relu(y)
+        return y.reshape(16, 2, 10, 260, 346)
+
+    for name, fn in [("pred_cur", pred_cur), ("pred_cm", pred_cm)]:
+        t = timed_loop(fn, (x32, kp), n_iters=10)
+        print(f"boundary {name}: {t*1e3:.2f} ms", flush=True)
+    a = np.asarray(pred_cur((x32, kp)))
+    b = np.asarray(pred_cm((x32, kp)))
+    print("  pred parity:", np.abs(a - b).max(), flush=True)
+
+    # --- head: (1,16,260,346,2) -> (1,16,260,346,32), 3x3x3
+    xin = jnp.asarray(rng.rand(1, 16, 260, 346, 2).astype(np.float32))
+    kh = jnp.asarray(rng.rand(3, 3, 3, 2, 32).astype(np.float32) * 0.1)
+
+    def head_cur(args):
+        x, k = args
+        return lax.conv_general_dilated(
+            x.astype(jnp.bfloat16), k.astype(jnp.bfloat16), (1, 1, 1),
+            [(1, 1)] * 3, dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.float32)
+
+    def head_cm(args):
+        x, k = args
+        xt = jnp.transpose(x, (0, 1, 4, 2, 3)).astype(jnp.bfloat16)
+        y = lax.conv_general_dilated(
+            xt, k.astype(jnp.bfloat16), (1, 1, 1),
+            [(1, 1)] * 3, dimension_numbers=("NDCHW", "DHWIO", "NDCHW"),
+            preferred_element_type=jnp.float32)
+        return jnp.transpose(y, (0, 1, 3, 4, 2))
+
+    def head_cm_stay(args):
+        # channel-major output handed on (no transpose back)
+        x, k = args
+        xt = jnp.transpose(x, (0, 1, 4, 2, 3)).astype(jnp.bfloat16)
+        return lax.conv_general_dilated(
+            xt, k.astype(jnp.bfloat16), (1, 1, 1),
+            [(1, 1)] * 3, dimension_numbers=("NDCHW", "DHWIO", "NDCHW"),
+            preferred_element_type=jnp.float32)
+
+    for name, fn in [("head_cur", head_cur), ("head_cm", head_cm),
+                     ("head_cm_stay", head_cm_stay)]:
+        t = timed_loop(fn, (xin, kh), n_iters=10)
+        print(f"boundary {name}: {t*1e3:.2f} ms", flush=True)
+    a = np.asarray(head_cur((xin, kh)))
+    b = np.asarray(head_cm((xin, kh)))
+    print("  head parity:", np.abs(a - b).max(), flush=True)
+
+    # --- enc0 strided: (1,16,260,346,32) -> (1,16,130,173,64), s(1,2,2)
+    ke = jnp.asarray(rng.rand(3, 3, 3, 32, 64).astype(np.float32) * 0.1)
+
+    def enc0_cur(args):
+        x, k = args
+        return lax.conv_general_dilated(
+            x.astype(jnp.bfloat16), k.astype(jnp.bfloat16), (1, 2, 2),
+            [(1, 1)] * 3, dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.float32)
+
+    def enc0_fold(args):
+        x, k = args
+        x = x.astype(jnp.bfloat16)
+        k = k.astype(jnp.bfloat16)
+        b_, l, h, w, c = x.shape
+        co = k.shape[-1]
+        ho, wo = -(-h // 2), -(-w // 2)
+        xp = jnp.pad(x, ((0, 0), (0, 0), (1, 2 * (ho + 1) - h - 1),
+                         (1, 2 * (wo + 1) - w - 1), (0, 0)))
+        xh = jnp.concatenate([xp[:, :, 0::2], xp[:, :, 1::2]], axis=-1)
+        xf = jnp.concatenate([xh[:, :, :, 0::2], xh[:, :, :, 1::2]],
+                             axis=-1)
+        kz = jnp.concatenate([k, jnp.zeros((3, 1, 3, c, co), k.dtype)],
+                             axis=1)
+        kz = jnp.concatenate([kz, jnp.zeros((3, 4, 1, c, co), kz.dtype)],
+                             axis=2)
+        parts = []
+        for ph_w in (0, 1):
+            for ph_h in (0, 1):
+                parts.append(kz[:, [0 + ph_h, 2 + ph_h]][:, :, [0 + ph_w,
+                                                                2 + ph_w]])
+        k4 = jnp.concatenate(parts, axis=3)
+        return lax.conv_general_dilated(
+            xf, k4, (1, 1, 1), [(1, 1), (0, 0), (0, 0)],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.float32)
+
+    for name, fn in [("enc0_cur", enc0_cur), ("enc0_fold", enc0_fold)]:
+        t = timed_loop(fn, (x32, ke), n_iters=10)
+        print(f"boundary {name}: {t*1e3:.2f} ms", flush=True)
+    a = np.asarray(enc0_cur((x32, ke)))
+    b = np.asarray(enc0_fold((x32, ke)))
+    print("  enc0 parity:", np.abs(a - b).max(), flush=True)
+
+    # --- dec3 conv1: concat(up64, skip32) -> 32 vs split convs
+    up = jnp.asarray(rng.rand(1, 16, 130, 173, 64).astype(np.float32))
+    skip = jnp.asarray(rng.rand(1, 16, 260, 346, 32).astype(np.float32))
+    kc = jnp.asarray(rng.rand(3, 3, 3, 96, 32).astype(np.float32) * 0.1)
+
+    def upsample(u):
+        b_, l, h, w, c = u.shape
+        y = jnp.broadcast_to(u[:, :, :, None, :, None, :],
+                             (b_, l, h, 2, w, 2, c))
+        return y.reshape(b_, l, 2 * h, 2 * w, c)[:, :, :260, :346]
+
+    def dec3_cur(args):
+        u, s, k = args
+        x = jnp.concatenate([upsample(u).astype(jnp.bfloat16),
+                             s.astype(jnp.bfloat16)], axis=-1)
+        return lax.conv_general_dilated(
+            x, k.astype(jnp.bfloat16), (1, 1, 1), [(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.float32)
+
+    def dec3_split(args):
+        u, s, k = args
+        k = k.astype(jnp.bfloat16)
+        y = lax.conv_general_dilated(
+            upsample(u).astype(jnp.bfloat16), k[..., :64, :], (1, 1, 1),
+            [(1, 1)] * 3, dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.float32)
+        return y + lax.conv_general_dilated(
+            s.astype(jnp.bfloat16), k[..., 64:, :], (1, 1, 1),
+            [(1, 1)] * 3, dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.float32)
+
+    for name, fn in [("dec3_cur", dec3_cur), ("dec3_split", dec3_split)]:
+        t = timed_loop(fn, (up, skip, kc), n_iters=10)
+        print(f"boundary {name}: {t*1e3:.2f} ms", flush=True)
+    a = np.asarray(dec3_cur((up, skip, kc)))
+    b = np.asarray(dec3_split((up, skip, kc)))
+    print("  dec3 parity:", np.abs(a - b).max(), flush=True)
+
+
+PROBES["boundary"] = probe_boundary
+
+
+
+
+def probe_model_variants():
+    """In-model A/B of the round-3 boundary rewrites (isolated micro-
+    probes proved unreliable: jit-boundary layouts dominate them). Each
+    variant runs the full driver-style output (channel-major (L,20,H,W)
+    voxels), so 'cl' variants pay the external transpose the driver
+    would."""
+    from v2ce_toolbox_tpu.config import ModelConfig
+    from v2ce_toolbox_tpu.models import V2ce3d
+
+    h, w = 260, 346
+    x = jnp.asarray(np.random.RandomState(0)
+                    .rand(1, 16, h, w, 2).astype(np.float32))
+
+    variants = [
+        ("base", {}),
+        ("split", {"decoder_split": True}),
+        ("cm", {"out_layout": "cm"}),
+        ("fold", {"conv_impl": "fold"}),
+        ("split+cm", {"decoder_split": True, "out_layout": "cm"}),
+        ("split+cm+fold", {"decoder_split": True, "out_layout": "cm",
+                           "conv_impl": "fold"}),
+    ]
+    for name, kw in variants:
+        model = V2ce3d(config=ModelConfig(compute_dtype=jnp.bfloat16, **kw))
+        variables = model.init(jax.random.key(0), x[:, :3], train=False)
+        cm = kw.get("out_layout") == "cm"
+
+        def fn(xx, _model=model, _v=variables, _cm=cm):
+            y = _model.apply(_v, xx, train=False)
+            if not _cm:
+                y = jnp.transpose(y, (0, 1, 4, 2, 3))
+            return y
+
+        dt = timed_loop(fn, x, n_iters=10)
+        print(f"model_variant[{name}]: {dt*1e3:.2f} ms/window "
+              f"({16/dt:.1f} fps)", flush=True)
+
+
+PROBES["model_variants"] = probe_model_variants
+
+
 if __name__ == "__main__":
     from v2ce_toolbox_tpu.utils.jax_setup import enable_compilation_cache
 

@@ -53,6 +53,17 @@ class ModelConfig:
     # (3,2,2) convs + parity interleave worse than one big conv despite
     # the FLOP cut (tools/perf_probe.py model, round 2).
     subpixel_decoder: bool = False
+    # Decoder blocks read (upsampled, skip) as two tensors and slice the
+    # conv1/projection kernels across the halves instead of materializing
+    # the 1.5x-channel concat (same parameter tree; float-reassociation
+    # differences only). Measured in-model on v5e (tools/perf_probe.py
+    # model_variants, round 3).
+    decoder_split: bool = False
+    # 'cm' emits the prediction in channel-major (B, L, 20, H, W) — the
+    # layout stage 2 consumes — by running the 1x1 pred conv in NDCHW
+    # form, replacing the driver's out-of-jit transpose (TPU tiling pads
+    # the channels-minor (.., 20) f32 output 6.4x; W-minor pads 1.1x).
+    out_layout: str = "cl"             # 'cl' | 'cm'
     # Rematerialize residual-block activations in the backward pass
     # (training memory saver; no effect on inference).
     remat: bool = False

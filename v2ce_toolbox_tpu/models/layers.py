@@ -67,6 +67,40 @@ def _apply_conv(x: jax.Array, kernel: jax.Array, strides, padding,
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
                 preferred_element_type=jnp.float32)
         conv_impl = "xla"
+    if (conv_impl == "fold" and ndim_sp == 3
+            and kernel.shape[:3] == (3, 3, 3)
+            and tuple(strides) == (1, 2, 2)
+            and tuple(padding) == ((1, 1), (1, 1), (1, 1))):
+        # phase-folded strided conv: space-to-depth folds the H/W phases
+        # into 4C channels, turning the (1,2,2)-strided conv into a dense
+        # stride-1 (3,2,2) conv (exact: folded taps outside the 3x3
+        # footprint carry zero weights)
+        x = x.astype(compute_dtype)
+        k = kernel.astype(compute_dtype)
+        b, l, h, w, c = x.shape
+        co = k.shape[-1]
+        ho, wo = -(-h // 2), -(-w // 2)
+        xp = jnp.pad(x, ((0, 0), (0, 0), (1, 2 * (ho + 1) - h - 1),
+                         (1, 2 * (wo + 1) - w - 1), (0, 0)))
+        xh = jnp.concatenate([xp[:, :, 0::2], xp[:, :, 1::2]], axis=-1)
+        xf = jnp.concatenate([xh[:, :, :, 0::2], xh[:, :, :, 1::2]],
+                             axis=-1)
+        kz = jnp.concatenate([k, jnp.zeros((3, 1, 3, c, co), k.dtype)],
+                             axis=1)
+        kz = jnp.concatenate([kz, jnp.zeros((3, 4, 1, c, co), kz.dtype)],
+                             axis=2)
+        parts = []
+        for ph_w in (0, 1):
+            for ph_h in (0, 1):
+                parts.append(kz[:, [0 + ph_h, 2 + ph_h]][:, :, [0 + ph_w,
+                                                                2 + ph_w]])
+        k4 = jnp.concatenate(parts, axis=3)
+        return jax.lax.conv_general_dilated(
+            xf, k4, (1, 1, 1), [(1, 1), (0, 0), (0, 0)],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.float32)
+    if conv_impl == "fold":
+        conv_impl = "xla"
     if (conv_impl == "wpack" and ndim_sp == 3
             and kernel.shape[:3] == (3, 3, 3)
             and strides[0] == 1
@@ -134,9 +168,11 @@ class SNConv(nn.Module):
     use_bias: bool = True
     compute_dtype: Dtype = jnp.float32
     conv_impl: str = "xla"
+    channel_major: bool = False        # not supported on the SN path
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        assert not self.channel_major, "SNConv is channels-last only"
         in_ch = x.shape[-1]
         kshape = (*self.kernel_size, in_ch, self.features)
         kernel_bar = self.param("kernel_bar", _kaiming_normal_conv_init(), kshape)
@@ -189,12 +225,25 @@ class Conv(nn.Module):
     use_bias: bool = True
     compute_dtype: Dtype = jnp.float32
     conv_impl: str = "xla"
+    channel_major: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        in_ch = x.shape[-1]
+        in_ch = x.shape[2] if self.channel_major else x.shape[-1]
         kshape = (*self.kernel_size, in_ch, self.features)
         kernel = self.param("kernel", _kaiming_normal_conv_init(), kshape)
+        if self.channel_major:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.compute_dtype),
+                kernel.astype(self.compute_dtype),
+                window_strides=self.strides, padding=list(self.padding),
+                dimension_numbers=("NDCHW", "DHWIO", "NDCHW"),
+                preferred_element_type=jnp.float32)
+            if self.use_bias:
+                bias = self.param("bias", nn.initializers.zeros,
+                                  (self.features,))
+                y = y + bias[None, None, :, None, None]
+            return y
         y = _apply_conv(x, kernel, self.strides, self.padding,
                         self.compute_dtype, self.conv_impl)
         if self.use_bias:
@@ -247,7 +296,12 @@ class BatchNorm(nn.Module):
 
 class ConvLayer3D(nn.Module):
     """conv3d + optional BN + optional activation
-    (reference: scripts/submodules.py:85-124)."""
+    (reference: scripts/submodules.py:85-124).
+
+    channel_major=True takes/returns (B, L, C, H, W) tensors, running the
+    conv with NDCHW dimension numbers — used for the 'cm' out_layout pred
+    head, where a channels-minor (.., 20) f32 output would pad 6.4x under
+    the TPU's (8,128) tiling while W-minor pads only 346->384."""
 
     features: int
     kernel_size: int = 3
@@ -258,6 +312,7 @@ class ConvLayer3D(nn.Module):
     sn: bool = False
     compute_dtype: Dtype = jnp.float32
     conv_impl: str = "xla"
+    channel_major: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -267,10 +322,11 @@ class ConvLayer3D(nn.Module):
         conv_cls = SNConv if self.sn else Conv
         kw = dict(features=self.features, kernel_size=k, strides=self.stride,
                   padding=pad, use_bias=use_bias, compute_dtype=self.compute_dtype,
-                  conv_impl=self.conv_impl)
+                  conv_impl=self.conv_impl, channel_major=self.channel_major)
         out = conv_cls(name="conv", **kw)(x)
         if self.norm == "BN":
             # reference: submodules.py:111 — BatchNorm3d(momentum=0.01)
+            assert not self.channel_major, "BN expects channels-last"
             out = BatchNorm(torch_momentum=0.01, name="norm",
                             compute_dtype=self.compute_dtype)(out, train=train)
         act = _activation(self.activation)
@@ -326,6 +382,68 @@ class ResidualBlock3D(nn.Module):
         residual = BatchNorm(name="downsample_bn",
                              compute_dtype=self.compute_dtype)(residual,
                                                                train=train)
+
+        return jax.nn.relu(out + residual)
+
+
+class SplitInputResidualBlock3D(nn.Module):
+    """ResidualBlock3D over concat(up, skip) WITHOUT materializing the
+    concat: conv1 and the projection distribute over the channel concat,
+    so each runs as two convs (kernel sliced at up's channel count) summed.
+
+    The trace_attrib profile (round 3) shows the decoder concats cost
+    ~5.8 ms/window in relayout/materialization at 260x346 — this block
+    removes them at the price of float reassociation only. Parameter tree
+    is identical to ResidualBlock3D on the concat input, so converted
+    reference weights (scripts/unet_2layer.py:355-371) load unchanged."""
+
+    features: int
+    norm: Optional[str] = None
+    sn: bool = False
+    compute_dtype: Dtype = jnp.float32
+    conv_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, up: jax.Array, skip: jax.Array,
+                 train: bool = False) -> jax.Array:
+        up_c = up.shape[-1]
+        in_ch = up_c + skip.shape[-1]
+        use_bias = self.norm != "BN"
+        cd = self.compute_dtype
+        pad1 = ((1, 1), (1, 1), (1, 1))
+
+        kernel_cls = _SNKernel if self.sn else _ConvKernel
+        k1, bias1 = kernel_cls(name="conv1", features=self.features,
+                               kernel_size=(3, 3, 3), in_channels=in_ch,
+                               use_bias=use_bias)()
+        out = _apply_conv(up, k1[..., :up_c, :], (1, 1, 1), pad1, cd,
+                          self.conv_impl)
+        out = out + _apply_conv(skip, k1[..., up_c:, :], (1, 1, 1), pad1,
+                                cd, self.conv_impl)
+        if use_bias:
+            out = out + bias1
+        if self.norm in ("BN", "IN"):
+            out = BatchNorm(name="bn1", compute_dtype=cd)(out, train=train)
+        out = jax.nn.relu(out)
+
+        conv_cls = SNConv if self.sn else Conv
+        out = conv_cls(name="conv2", features=self.features,
+                       kernel_size=(3, 3, 3), strides=(1, 1, 1),
+                       padding=pad1, use_bias=use_bias, compute_dtype=cd,
+                       conv_impl=self.conv_impl)(out)
+        if self.norm in ("BN", "IN"):
+            out = BatchNorm(name="bn2", compute_dtype=cd)(out, train=train)
+
+        kd, bias_d = _ConvKernel(name="downsample_conv",
+                                 features=self.features,
+                                 kernel_size=(1, 1, 1), in_channels=in_ch,
+                                 use_bias=True)()
+        residual = _apply_conv(up, kd[..., :up_c, :], (1, 1, 1),
+                               ((0, 0),) * 3, cd, "xla")
+        residual = residual + _apply_conv(skip, kd[..., up_c:, :], (1, 1, 1),
+                                          ((0, 0),) * 3, cd, "xla") + bias_d
+        residual = BatchNorm(name="downsample_bn",
+                             compute_dtype=cd)(residual, train=train)
 
         return jax.nn.relu(out + residual)
 

@@ -26,6 +26,7 @@ from v2ce_toolbox_tpu.models.layers import (
     ConvLayer3D,
     DecoderResidualBlock3D,
     ResidualBlock3D,
+    SplitInputResidualBlock3D,
     upsample_nearest_to,
 )
 
@@ -44,6 +45,8 @@ class UNet3D(nn.Module):
     remat: bool = False
     conv_impl: str = "xla"
     subpixel_decoder: bool = False
+    decoder_split: bool = False
+    out_layout: str = "cl"             # 'cl' | 'cm' (see ModelConfig)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -92,15 +95,39 @@ class UNet3D(nn.Module):
                              compute_dtype=cd, conv_impl=ci)(x, skip, train)
                 continue
             x = upsample_nearest_to(x, (th, tw))
-            if self.skip_type == "concat":
-                x = jnp.concatenate([x, skip], axis=-1)
-            else:
+            if self.skip_type != "concat":
                 x = x + skip
-            x = Block(name=f"decoder_{i}",
-                      features=max_ch // (2 ** (i + 1)),
-                      stride=(1, 1, 1), norm=self.norm, sn=self.sn,
-                      compute_dtype=cd, conv_impl=ci)(x, train)
+                x = Block(name=f"decoder_{i}",
+                          features=max_ch // (2 ** (i + 1)),
+                          stride=(1, 1, 1), norm=self.norm, sn=self.sn,
+                          compute_dtype=cd, conv_impl=ci)(x, train)
+            elif self.decoder_split:
+                SBlock = (nn.remat(SplitInputResidualBlock3D,
+                                   static_argnums=(3,))
+                          if self.remat else SplitInputResidualBlock3D)
+                x = SBlock(name=f"decoder_{i}",
+                           features=max_ch // (2 ** (i + 1)),
+                           norm=self.norm, sn=self.sn,
+                           compute_dtype=cd, conv_impl=ci)(x, skip, train)
+            else:
+                x = jnp.concatenate([x, skip], axis=-1)
+                x = Block(name=f"decoder_{i}",
+                          features=max_ch // (2 ** (i + 1)),
+                          stride=(1, 1, 1), norm=self.norm, sn=self.sn,
+                          compute_dtype=cd, conv_impl=ci)(x, train)
 
+        if self.out_layout == "cm":
+            # channel-major prediction: (B, L, C, H, W) out, W-minor
+            # layout — the stage-2 sampler's input layout, replacing the
+            # driver's out-of-jit transpose of a lane-sparse (.., 20)
+            # tensor (see ModelConfig.out_layout)
+            x = jnp.transpose(x, (0, 1, 4, 2, 3))
+            return ConvLayer3D(name="pred",
+                               features=self.num_output_channels,
+                               kernel_size=1, stride=(1, 1, 1), padding=0,
+                               activation=self.activation, norm=None,
+                               sn=False, compute_dtype=cd,
+                               channel_major=True)(x, train=train)
         x = ConvLayer3D(name="pred", features=self.num_output_channels,
                         kernel_size=1, stride=(1, 1, 1), padding=0,
                         activation=self.activation, norm=None, sn=False,
