@@ -62,6 +62,42 @@ def test_compact_rows_capacity_drop_exact():
                                   keys[:, :cap])
 
 
+@pytest.mark.parametrize("f,nb,w,cap", [(3, 9, 256, 512), (2, 4, 128, 256),
+                                        (1, 9, 384, 128)])
+def test_merge_sorted_rows_matches_concat(f, nb, w, cap):
+    """merge_sorted_rows == concatenation of the rows' valid prefixes,
+    truncated at cap with exact kept/total accounting."""
+    import jax.numpy as jnp
+
+    from v2ce_toolbox_tpu.ops.compact_pallas import INVALID, merge_sorted_rows
+
+    rng = np.random.RandomState(f * 1000 + nb)
+    keys = np.full((f * nb, w), INVALID, np.int32)
+    pays = np.zeros((f * nb, w), np.int32)
+    for r in range(f * nb):
+        n = rng.randint(0, w + 1)
+        keys[r, :n] = np.sort(rng.randint(0, 1 << 20, n).astype(np.int32))
+        pays[r, :n] = rng.randint(1, 100, n)
+
+    ok, (op,), kept, total = merge_sorted_rows(
+        jnp.asarray(keys), [jnp.asarray(pays)], nb=nb, cap=cap)
+    ok, op = np.asarray(ok), np.asarray(op)
+    kept, total = np.asarray(kept), np.asarray(total)
+
+    for i in range(f):
+        rows = keys[i * nb:(i + 1) * nb]
+        ref_k = np.concatenate([r[r != INVALID] for r in rows])
+        ref_p = np.concatenate(
+            [pays[i * nb + b][rows[b] != INVALID] for b in range(nb)])
+        assert total[i] == len(ref_k)
+        k = kept[i]
+        assert k == min(len(ref_k), cap)
+        np.testing.assert_array_equal(ok[i, :k], ref_k[:k])
+        np.testing.assert_array_equal(op[i, :k], ref_p[:k])
+        assert (ok[i, k:] == INVALID).all()
+        assert (op[i, k:] == 0).all()
+
+
 def test_compact_rows_no_payload_many_shapes():
     import jax.numpy as jnp
 

@@ -213,6 +213,144 @@ def _compact_kernel(keys_ref, *rest, chunk, n_chunks, cap_chunks,
         copy.wait()
 
 
+def _merge_kernel(keys_ref, *rest, nb, sr, s_out, cap, n_payloads):
+    """Append each of the nb sorted rows' valid prefixes into one
+    (cap,)-stream per output row, entirely in VMEM."""
+    payload_refs = rest[:n_payloads]
+    out_keys = rest[n_payloads]
+    out_payloads = rest[n_payloads + 1:2 * n_payloads + 1]
+    acc = rest[2 * n_payloads + 1]         # VMEM (1+P, s_out + sr + 1, 128)
+    state = rest[-2]                       # SMEM [pos]
+    sem = rest[-1]
+
+    fi = pl.program_id(0)
+    b = pl.program_id(1)
+
+    @pl.when(b == 0)
+    def _():
+        state[0] = 0
+        acc[0] = jnp.full_like(acc[0], INVALID)
+        for i in range(n_payloads):
+            acc[1 + i] = jnp.zeros_like(acc[1 + i])
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (sr + 1, _LANES), 1)
+    pos = state[0]
+    row_key = keys_ref[0, 0]
+    length = jnp.sum((row_key != INVALID).astype(jnp.int32))
+
+    r = pos // _LANES
+    l = pos % _LANES
+
+    def place(tile, fill, slot):
+        padded = jnp.concatenate(
+            [tile, jnp.full((1, _LANES), fill, tile.dtype)], axis=0)
+        al = pltpu.roll(padded, l, axis=1)
+        bl = pltpu.roll(_roll(padded, 1, axis=0), l, axis=1)
+        shifted = jnp.where(lane >= l, al, bl)
+        # global flat index of each target slot in the acc buffer
+        gflat = (r + jax.lax.broadcasted_iota(
+            jnp.int32, (sr + 1, _LANES), 0)) * _LANES + lane
+        window = (gflat >= pos) & (gflat < pos + length)
+        region = acc[slot, pl.ds(r, sr + 1)]
+        acc[slot, pl.ds(r, sr + 1)] = jnp.where(window, shifted, region)
+
+    @pl.when(pos < cap)
+    def _():
+        place(row_key, INVALID, 0)
+        for i in range(n_payloads):
+            place(payload_refs[i][0, 0], 0, 1 + i)
+
+    state[0] = pos + length
+
+    @pl.when(b == nb - 1)
+    def _():
+        copy = pltpu.make_async_copy(acc.at[0, pl.ds(0, s_out)],
+                                     out_keys.at[fi], sem)
+        copy.start()
+        copy.wait()
+        for i in range(n_payloads):
+            copy = pltpu.make_async_copy(
+                acc.at[1 + i, pl.ds(0, s_out)],
+                out_payloads[i].at[fi], sem)
+            copy.start()
+            copy.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "cap"))
+def merge_sorted_rows(keys: jax.Array, payloads: Sequence[jax.Array] = (),
+                      *, nb: int, cap: int
+                      ) -> Tuple[jax.Array, Tuple[jax.Array, ...],
+                                 jax.Array, jax.Array]:
+    """Concatenate the valid prefixes of nb consecutive rows into one
+    row — the frame-merge step of the v3 sampler, replacing a full
+    roll-compaction of the (f, nb*W) grid (the bins are time-disjoint and
+    individually sorted, so appending their prefixes preserves global
+    order).
+
+    Each output row is assembled in VMEM: the incoming row is
+    lane/sublane-rotated to the current write position (dynamic
+    pltpu.roll) and masked into the accumulator — O(nb * W) vector ops
+    per frame versus the compactor's O(nb * W * log) butterfly stages.
+
+    Args:
+      keys: (R, W) int32, R % nb == 0; each row sorted with INVALID
+        tail. W % 128 == 0.
+      payloads: same-shape int32 arrays routed with the keys.
+      cap: output capacity per merged row (128-multiple).
+    Returns:
+      (out_keys (R//nb, cap), out_payloads, kept (R//nb,), total):
+      kept == min(total, cap); events beyond cap are dropped exactly.
+    """
+    r, wdt = keys.shape
+    payloads = tuple(payloads)
+    assert r % nb == 0 and wdt % _LANES == 0 and cap % _LANES == 0
+    f = r // nb
+    sr = wdt // _LANES
+    s_out = cap // _LANES
+    n_pay = len(payloads)
+
+    def shape4(a):
+        return a.reshape(f, nb, sr, _LANES)
+
+    interpret = jax.default_backend() != "tpu"
+    in_specs = [pl.BlockSpec((1, 1, sr, _LANES),
+                             lambda fi, bi: (fi, bi, 0, 0),
+                             memory_space=pltpu.VMEM)
+                for _ in range(1 + n_pay)]
+    out_shapes = [jax.ShapeDtypeStruct((f, s_out, _LANES), jnp.int32)
+                  for _ in range(1 + n_pay)]
+    out_specs = [pl.BlockSpec(memory_space=pltpu.ANY)
+                 for _ in range(1 + n_pay)]
+
+    outs = pl.pallas_call(
+        functools.partial(_merge_kernel, nb=nb, sr=sr, s_out=s_out,
+                          cap=cap, n_payloads=n_pay),
+        grid=(f, nb),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((1 + n_pay, s_out + sr + 1, _LANES), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(shape4(keys), *[shape4(p) for p in payloads])
+
+    total = jnp.sum((keys != INVALID).astype(jnp.int32)
+                    .reshape(f, nb * wdt), axis=1)
+    kept = jnp.minimum(total, cap)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (f, cap), 1)
+    mask = idx < kept[:, None]
+    out_keys = jnp.where(mask, outs[0].reshape(f, cap), INVALID)
+    out_pays = tuple(jnp.where(mask, o.reshape(f, cap), 0)
+                     for o in outs[1:])
+    return out_keys, out_pays, kept, total
+
+
 @functools.partial(jax.jit, static_argnames=("cap", "chunk"))
 def compact_rows(keys: jax.Array, payloads: Sequence[jax.Array] = (),
                  *, cap: int, chunk: int = 2048

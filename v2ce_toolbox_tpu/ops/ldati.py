@@ -650,6 +650,7 @@ def _sample_events_v3(
     from v2ce_toolbox_tpu.ops.compact_pallas import (
         INVALID as _INV,
         compact_rows,
+        merge_sorted_rows,
     )
 
     seg = p * h * w
@@ -766,11 +767,12 @@ def _sample_events_v3(
                      (merged & vox_mask) + row_bin * seg, 0)
     rel_only = jnp.where(merged != _INV, merged >> vox_bits, _INV)
 
-    fw = cb * merged.shape[1]
-    frame_keys = rel_only.reshape(f, fw)
-    frame_vox = gvox.reshape(f, fw)
-    out_rel, (out_vox,), kept, _ = compact_rows(
-        frame_keys, [frame_vox], cap=capacity, chunk=chunk)
+    # bins are time-disjoint and each row is sorted, so the frame stream
+    # is the concatenation of the rows' valid prefixes — an O(W) append
+    # (merge_sorted_rows) instead of an O(W log W) re-compaction of the
+    # (f, cb * W) grid (measured ~3.5 ms -> ~0.5 ms, sampler_phases)
+    out_rel, (out_vox,), kept, _ = merge_sorted_rows(
+        rel_only, [gvox], nb=cb, cap=capacity)
 
     # decode: abs µs = rel + bin_start(bin), with the bin start recomputed
     # arithmetically (identical float expression to bin_starts above — a
