@@ -31,8 +31,9 @@ def base_setup():
     {"decoder_split": True},
     {"out_layout": "cm"},
     {"conv_impl": "fold"},
+    {"conv_impl": "d2"},
     {"decoder_split": True, "out_layout": "cm", "conv_impl": "fold"},
-], ids=["split", "cm", "fold", "all"])
+], ids=["split", "cm", "fold", "d2", "all"])
 def test_rewrite_matches_baseline(base_setup, kw):
     x, variables, y_base = base_setup
     model = V2ce3d(config=ModelConfig(**kw))

@@ -854,6 +854,69 @@ def probe_conv2d_decomp():
 PROBES["conv2d_decomp"] = probe_conv2d_decomp
 
 
+def probe_d2():
+    """Depth-tap N-fold (_apply_conv 'd2'): ONE 2D conv with kd folded
+    into the output channels (N = 3*cout MXU lanes) + an L shift-add —
+    vs the native conv3d, on the small-cout layers the knockout probe
+    blamed (lane-fill-bound at cout=32/64)."""
+    from v2ce_toolbox_tpu.models.layers import _apply_conv
+
+    layers = [
+        ("dec3_c2", 260, 346, 32, 32),
+        ("dec3_c1", 260, 346, 96, 32),
+        ("enc1_c2", 130, 173, 64, 64),
+        ("dec2_c1", 130, 173, 192, 64),
+        ("dec2_c2", 130, 173, 64, 64),
+        ("enc2_c2", 65, 87, 128, 128),
+        ("dec1_c1", 65, 87, 384, 128),
+        ("botl_c", 17, 22, 512, 512),
+    ]
+    same3 = ((1, 1), (1, 1), (1, 1))
+    for name, h, w, cin, cout in layers:
+        rng = np.random.RandomState(0)
+        flops = 2 * 16 * h * w * cin * cout * 27
+        x = jnp.asarray(rng.rand(1, 16, h, w, cin).astype(np.float32))
+        k = jnp.asarray(rng.rand(3, 3, 3, cin, cout)
+                        .astype(np.float32) * 0.01)
+        for impl in ("xla", "d2"):
+            def fn(args, _impl=impl):
+                xx, kk = args
+                return _apply_conv(xx, kk, (1, 1, 1), same3,
+                                   jnp.bfloat16, _impl)
+            t = timed_loop(fn, (x, k), n_iters=10)
+            print(f"d2 {name} {impl} bf16: {t*1e3:.2f} ms  "
+                  f"{flops/t/1e12:.1f} TF/s", flush=True)
+
+
+PROBES["d2"] = probe_d2
+
+
+def probe_model_d2():
+    """Full model with conv_impl='d2' (driver-style channel-major
+    output), vs base."""
+    from v2ce_toolbox_tpu.config import ModelConfig
+    from v2ce_toolbox_tpu.models import V2ce3d
+
+    h, w = 260, 346
+    x = jnp.asarray(np.random.RandomState(0)
+                    .rand(1, 16, h, w, 2).astype(np.float32))
+    for name, kw in [("base", {}), ("d2", {"conv_impl": "d2"}),
+                     ("d2s", {"conv_impl": "d2s"})]:
+        model = V2ce3d(config=ModelConfig(compute_dtype=jnp.bfloat16, **kw))
+        variables = model.init(jax.random.key(0), x[:, :3], train=False)
+
+        def fn(xx, _model=model, _v=variables):
+            y = _model.apply(_v, xx, train=False)
+            return jnp.transpose(y, (0, 1, 4, 2, 3))
+
+        dt = timed_loop(fn, x, n_iters=10)
+        print(f"model_d2[{name}]: {dt*1e3:.2f} ms/window "
+              f"({16/dt:.1f} fps)", flush=True)
+
+
+PROBES["model_d2"] = probe_model_d2
+
+
 def probe_quad():
     """conv3d_quad (quad-packed Pallas implicit GEMM) on the model's
     stride-1 3x3x3 layers, vs the XLA native numbers in the roofline

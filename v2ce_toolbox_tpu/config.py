@@ -41,8 +41,12 @@ class ModelConfig:
     compute_dtype: jnp.dtype = jnp.float32
     # 'pallas' routes the 3x3x3 stride-1 convs (91% of forward FLOPs)
     # through the implicit-GEMM Mosaic kernel (ops/conv3d_pallas.py);
-    # 'xla' is the lax.conv path. Training uses 'xla' (the Pallas kernel
-    # is forward-only — no custom VJP yet).
+    # 'xla' is the lax.conv path. 'd2'/'d2s' fold the depth taps into the
+    # 2D conv's output channels (3*cout MXU lanes) with an L shift-add —
+    # 'd2s' only on the cin>cout, cout<128 decoder layers (exact,
+    # differentiable; measured per-layer in tools/perf_probe.py d2).
+    # Training uses 'xla' (the Pallas kernel is forward-only — no custom
+    # VJP yet).
     conv_impl: str = "xla"
     # Exact algebraic rewrite of the decoder conv1/projection over
     # concat(nearest_up2(x), skip): the upsampled branch is computed on

@@ -101,6 +101,41 @@ def _apply_conv(x: jax.Array, kernel: jax.Array, strides, padding,
             preferred_element_type=jnp.float32)
     if conv_impl == "fold":
         conv_impl = "xla"
+    if conv_impl == "d2s":
+        # selective depth-fold: only the decoder conv1 pattern
+        # (cout < 128 lanes and cin > cout), where the isolated A/B wins
+        cin_, cout_ = kernel.shape[-2], kernel.shape[-1]
+        conv_impl = "d2" if (cout_ < 128 and cin_ > cout_) else "xla"
+    if (conv_impl == "d2" and ndim_sp == 3
+            and kernel.shape[:3] == (3, 3, 3)
+            and strides[0] == 1
+            and tuple(padding) == ((1, 1), (1, 1), (1, 1))):
+        # depth-tap N-fold: the 3x3x3 conv becomes ONE 2D conv over the
+        # (B*L) batch whose output channels are (kd, cout) — the MXU's
+        # N dimension sees 3*cout lanes instead of cout (the small-cout
+        # layers are lane-fill-bound: cout=32/64 of 128 lanes, measured
+        # 24-31 TF/s) — followed by a shift-add over L combining the
+        # three depth taps. Exact up to f32 accumulation order.
+        x = x.astype(compute_dtype)
+        b, l, h, w, c = x.shape
+        co = kernel.shape[-1]
+        # (kd, kh, kw, cin, co) -> (kh, kw, cin, kd*co)
+        k2 = jnp.transpose(kernel.astype(compute_dtype),
+                           (1, 2, 3, 0, 4)).reshape(3, 3, c, 3 * co)
+        z = jax.lax.conv_general_dilated(
+            x.reshape(b * l, h, w, c), k2,
+            window_strides=strides[1:], padding=list(padding[1:]),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        ho, wo = z.shape[1], z.shape[2]
+        z = z.reshape(b, l, ho, wo, 3, co)
+        # y[l] = z[l-1, kd=0] + z[l, kd=1] + z[l+1, kd=2]  (zero outside)
+        y = z[:, :, :, :, 1]
+        y = y.at[:, 1:].add(z[:, :-1, :, :, 0])
+        y = y.at[:, :-1].add(z[:, 1:, :, :, 2])
+        return y
+    if conv_impl == "d2":
+        conv_impl = "xla"
     if (conv_impl == "wpack" and ndim_sp == 3
             and kernel.shape[:3] == (3, 3, 3)
             and strides[0] == 1
