@@ -12,8 +12,9 @@ def _ref_compact(row, cap, invalid):
     return valid[:cap]
 
 
+@pytest.mark.parametrize("algo", ["window", "place"])
 @pytest.mark.parametrize("density", [0.0, 0.05, 0.5, 0.95, 1.0])
-def test_compact_rows_matches_reference(density):
+def test_compact_rows_matches_reference(density, algo):
     import jax.numpy as jnp
 
     from v2ce_toolbox_tpu.ops.compact_pallas import INVALID, compact_rows
@@ -26,7 +27,8 @@ def test_compact_rows_matches_reference(density):
     pay = np.where(keys != INVALID, pay, 0)
 
     out_keys, (out_pay,), kept, total = compact_rows(
-        jnp.asarray(keys), [jnp.asarray(pay)], cap=cap, chunk=chunk)
+        jnp.asarray(keys), [jnp.asarray(pay)], cap=cap, chunk=chunk,
+        algo=algo)
     out_keys, out_pay = np.asarray(out_keys), np.asarray(out_pay)
     kept, total = np.asarray(kept), np.asarray(total)
 

@@ -342,6 +342,46 @@ def probe_compact():
 PROBES["compact"] = probe_compact
 
 
+def probe_compact_algo():
+    """window (2-chunk butterfly) vs place (chunk butterfly + rotate into
+    accumulator) compactor at the sampler's chain-compaction shape, with
+    the slope payload riding along."""
+    from v2ce_toolbox_tpu.ops.compact_pallas import INVALID, compact_rows
+
+    rng = np.random.RandomState(0)
+    r, n = 144, 2048 * 89
+    keys = np.where(rng.rand(r, n) < 0.1,
+                    rng.randint(0, 1 << 30, (r, n)), INVALID).astype(np.int32)
+    pays = np.where(keys != INVALID,
+                    rng.randint(1, 1 << 20, (r, n)), 0).astype(np.int32)
+    keys_j, pays_j = jnp.asarray(keys), jnp.asarray(pays)
+
+    def perturb(args, acc):
+        kk, pp = args
+        return (kk + (acc * 1e-12).astype(jnp.int32), pp)
+
+    for algo in ("window", "place"):
+        for ch in (8192, 16384):
+            def fn(args, ch=ch, algo=algo):
+                kk, pp = args
+                o, (op,), k, t = compact_rows(kk, [pp], cap=1 << 14,
+                                              chunk=ch, algo=algo)
+                return (o[:, ::127].astype(jnp.int32).sum()
+                        + (op[:, ::127] % 31).sum(), k.sum(), t.sum())
+
+            try:
+                dt = timed_loop(fn, (keys_j, pays_j), n_iters=10,
+                                perturb=perturb)
+                print(f"compact[{algo}] chunk={ch} +payload: {dt*1e3:.2f} ms "
+                      f"({r*n/dt/1e9:.2f} Gelem/s)", flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"compact[{algo}] chunk={ch}: FAILED "
+                      f"{type(e).__name__}: {str(e)[:150]}", flush=True)
+
+
+PROBES["compact_algo"] = probe_compact_algo
+
+
 
 
 def probe_sampler_phases():
@@ -463,6 +503,91 @@ def probe_window(barrier=False):
 
 PROBES["window"] = lambda: probe_window(False)
 PROBES["window_barrier"] = lambda: probe_window(True)
+
+
+def probe_window_lb():
+    """Fused window jit with a Pallas identity custom call between model
+    and sampler (ops/barrier.layout_barrier): custom calls force default
+    layouts, firewalling the sampler's channel-major preference from
+    propagating back into the model's conv layouts (the fused-jit
+    pathology, /tmp/fused_hlo.txt fusion.142)."""
+    from v2ce_toolbox_tpu.config import ModelConfig, SamplerConfig
+    from v2ce_toolbox_tpu.models import V2ce3d
+    from v2ce_toolbox_tpu.ops.barrier import layout_barrier
+    from v2ce_toolbox_tpu.ops.ldati import sample_events
+    from v2ce_toolbox_tpu.pipeline.preprocess import normalize_pairs
+
+    seq_len, h, w = 16, 260, 346
+    scfg = SamplerConfig()
+    model = V2ce3d(config=ModelConfig())
+    rng = np.random.RandomState(0)
+    frames0 = jnp.asarray(rng.rand(1, seq_len + 1, h, w).astype(np.float32))
+    variables = model.init(jax.random.key(0),
+                           frames0[:, :3, :, :, None].repeat(2, -1),
+                           train=False)
+
+    def fn(args):
+        frames, = args
+        units = normalize_pairs(frames)
+        voxels = model.apply(variables, units, train=False)
+        voxels = layout_barrier(voxels)
+        v = jnp.transpose(voxels[0], (0, 3, 1, 2)).reshape(
+            seq_len, 2, 10, h, w)
+        s = sample_events(
+            v, jax.random.key(0), fps=30,
+            additional_events_strategy=scfg.additional_events_strategy,
+            max_events_per_voxel=scfg.max_events_per_voxel,
+            capacity=scfg.event_capacity)
+        return (s.count.sum() + (s.t_us % 97).sum()
+                + s.x.astype(jnp.int32).sum())
+
+    dt = timed_loop(fn, (frames0,), n_iters=10)
+    print(f"window step (fused, layout barrier): {dt*1e3:.2f} ms "
+          f"({16/dt:.1f} fps)", flush=True)
+
+
+PROBES["window_lb"] = probe_window_lb
+
+
+def probe_window_cm():
+    """Fused window jit with out_layout='cm': the model emits
+    channel-major (L,20,H,W) natively (NDCHW pred conv), so the sampler's
+    consumption no longer pulls channels-minor T(1,128) layouts back into
+    the top-resolution convs (the fused-jit pathology: decoder_3/conv1
+    40.9 ms vs ~5 ms, /tmp/fused_hlo.txt fusion.142)."""
+    from v2ce_toolbox_tpu.config import ModelConfig, SamplerConfig
+    from v2ce_toolbox_tpu.models import V2ce3d
+    from v2ce_toolbox_tpu.ops.ldati import sample_events
+    from v2ce_toolbox_tpu.pipeline.preprocess import normalize_pairs
+
+    seq_len, h, w = 16, 260, 346
+    scfg = SamplerConfig()
+    model = V2ce3d(config=ModelConfig(out_layout="cm"))
+    rng = np.random.RandomState(0)
+    frames0 = jnp.asarray(rng.rand(1, seq_len + 1, h, w).astype(np.float32))
+    variables = model.init(jax.random.key(0),
+                           frames0[:, :3, :, :, None].repeat(2, -1),
+                           train=False)
+
+    def fn(args):
+        frames, = args
+        units = normalize_pairs(frames)
+        voxels = model.apply(variables, units, train=False)  # (1,16,20,H,W)
+        v = voxels[0].reshape(seq_len, 2, 10, h, w)
+        s = sample_events(
+            v, jax.random.key(0), fps=30,
+            additional_events_strategy=scfg.additional_events_strategy,
+            max_events_per_voxel=scfg.max_events_per_voxel,
+            capacity=scfg.event_capacity)
+        return (s.count.sum() + (s.t_us % 97).sum()
+                + s.x.astype(jnp.int32).sum())
+
+    dt = timed_loop(fn, (frames0,), n_iters=10)
+    print(f"window step (fused, cm): {dt*1e3:.2f} ms ({16/dt:.1f} fps)",
+          flush=True)
+
+
+PROBES["window_fused_cm"] = probe_window_cm
 
 
 

@@ -213,6 +213,127 @@ def _compact_kernel(keys_ref, *rest, chunk, n_chunks, cap_chunks,
         copy.wait()
 
 
+def _compact_kernel2(keys_ref, *rest, chunk, n_chunks, cap_chunks,
+                     n_payloads):
+    """Place-based variant of _compact_kernel: front-pack ONLY the
+    incoming chunk (half the butterfly volume of the 2-chunk window),
+    then rotate it to the pending offset of a 2-chunk VMEM accumulator
+    (one dynamic lane roll + a masked window write, as in _merge_kernel).
+    Same contract and drop semantics as _compact_kernel."""
+    payload_refs = rest[:n_payloads]
+    out_keys = rest[n_payloads]
+    out_payloads = rest[n_payloads + 1:n_payloads + 1 + n_payloads]
+    acc = rest[n_payloads + 1 + n_payloads]      # VMEM (1+P, 2*sc+1, 128)
+    send = rest[n_payloads + 2 + n_payloads]     # VMEM (1+P, sc, 128)
+    state = rest[-2]            # SMEM: [pend, cidx, total, kept]
+    sem = rest[-1]
+
+    r = pl.program_id(0)
+    ci = pl.program_id(1)
+    sc = chunk // _LANES
+
+    @pl.when(ci == 0)
+    def _():
+        state[0] = 0
+        state[1] = 0
+        state[2] = 0
+        state[3] = 0
+        acc[0] = jnp.full_like(acc[0], INVALID)
+        for i in range(n_payloads):
+            acc[1 + i] = jnp.zeros_like(acc[1 + i])
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (sc, _LANES), 1)
+    flat = (jax.lax.broadcasted_iota(jnp.int32, (sc, _LANES), 0) * _LANES
+            + lane)
+
+    key = keys_ref[0, 0]
+    pays = [payload_refs[i][0, 0] for i in range(n_payloads)]
+    key, pays, cnt = _front_pack(key, pays, lane, flat, chunk)
+
+    pend = state[0]
+    state[2] = state[2] + cnt
+
+    # place the packed chunk into acc at flat offset pend
+    rr = pend // _LANES
+    ll = pend % _LANES
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (sc + 1, _LANES), 1)
+    gflat = (rr + jax.lax.broadcasted_iota(
+        jnp.int32, (sc + 1, _LANES), 0)) * _LANES + lane2
+    window = (gflat >= pend) & (gflat < pend + cnt)
+
+    def place(tile, fill, slot):
+        padded = jnp.concatenate(
+            [tile, jnp.full((1, _LANES), fill, tile.dtype)], axis=0)
+        al = pltpu.roll(padded, ll, axis=1)
+        bl = pltpu.roll(_roll(padded, 1, axis=0), ll, axis=1)
+        shifted = jnp.where(lane2 >= ll, al, bl)
+        region = acc[slot, pl.ds(rr, sc + 1)]
+        acc[slot, pl.ds(rr, sc + 1)] = jnp.where(window, shifted, region)
+
+    place(key, INVALID, 0)
+    for i in range(n_payloads):
+        place(pays[i], 0, 1 + i)
+
+    new_pend = pend + cnt
+    cidx = state[1]
+
+    @pl.when((new_pend >= chunk) & (cidx < cap_chunks))
+    def _():
+        send[0] = acc[0, :sc]
+        for i in range(n_payloads):
+            send[1 + i] = acc[1 + i, :sc]
+        copy = pltpu.make_async_copy(send.at[0], out_keys.at[r, cidx], sem)
+        copy.start()
+        copy.wait()
+        for i in range(n_payloads):
+            copy = pltpu.make_async_copy(
+                send.at[1 + i], out_payloads[i].at[r, cidx], sem)
+            copy.start()
+            copy.wait()
+        state[1] = cidx + 1
+        state[3] = state[3] + chunk
+
+    # pop the first chunk when full (emitted, or dropped whole at
+    # capacity — exact via total - kept): shift acc down by sc rows
+    @pl.when(new_pend >= chunk)
+    def _():
+        fills = [jnp.full((sc, _LANES), INVALID, jnp.int32)] + [
+            jnp.zeros((sc, _LANES), jnp.int32)] * n_payloads
+        for slot in range(1 + n_payloads):
+            acc[slot] = jnp.concatenate(
+                [acc[slot, sc:], fills[slot]], axis=0)
+
+    state[0] = jnp.where(new_pend >= chunk, new_pend - chunk, new_pend)
+
+    @pl.when(ci == n_chunks - 1)
+    def _():
+        cidx2 = state[1]
+
+        @pl.when((state[0] > 0) & (cidx2 < cap_chunks))
+        def _():
+            send[0] = acc[0, :sc]
+            copy = pltpu.make_async_copy(send.at[0],
+                                         out_keys.at[r, cidx2], sem)
+            copy.start()
+            copy.wait()
+            for i in range(n_payloads):
+                send[1 + i] = acc[1 + i, :sc]
+                copy = pltpu.make_async_copy(
+                    send.at[1 + i], out_payloads[i].at[r, cidx2], sem)
+                copy.start()
+                copy.wait()
+            state[3] = state[3] + state[0]
+
+        lane0 = jax.lax.broadcasted_iota(jnp.int32, (sc, _LANES), 1)
+        counts_tile = jnp.where(
+            lane0 == 0, state[3], jnp.where(lane0 == 1, state[2], 0))
+        send[0] = counts_tile
+        copy = pltpu.make_async_copy(send.at[0],
+                                     out_keys.at[r, cap_chunks], sem)
+        copy.start()
+        copy.wait()
+
+
 def _merge_kernel(keys_ref, *rest, nb, sr, s_out, cap, n_payloads):
     """Append each of the nb sorted rows' valid prefixes into one
     (cap,)-stream per output row, entirely in VMEM."""
@@ -351,9 +472,9 @@ def merge_sorted_rows(keys: jax.Array, payloads: Sequence[jax.Array] = (),
     return out_keys, out_pays, kept, total
 
 
-@functools.partial(jax.jit, static_argnames=("cap", "chunk"))
+@functools.partial(jax.jit, static_argnames=("cap", "chunk", "algo"))
 def compact_rows(keys: jax.Array, payloads: Sequence[jax.Array] = (),
-                 *, cap: int, chunk: int = 2048
+                 *, cap: int, chunk: int = 2048, algo: str = "window"
                  ) -> Tuple[jax.Array, Tuple[jax.Array, ...],
                             jax.Array, jax.Array]:
     """Stable per-row compaction: elements with key != INT32_MAX move to
@@ -398,16 +519,18 @@ def compact_rows(keys: jax.Array, payloads: Sequence[jax.Array] = (),
                  + [pl.BlockSpec(memory_space=pltpu.ANY)
                     for _ in range(n_pay)])
 
+    kernel = _compact_kernel if algo == "window" else _compact_kernel2
+    acc_rows = sc if algo == "window" else 2 * sc + 1
     outs = pl.pallas_call(
-        functools.partial(_compact_kernel, chunk=chunk, n_chunks=n_chunks,
+        functools.partial(kernel, chunk=chunk, n_chunks=n_chunks,
                           cap_chunks=cap_chunks, n_payloads=n_pay),
         grid=(r, n_chunks),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((1 + n_pay, sc, _LANES), jnp.int32),   # carry
-            pltpu.VMEM((1 + n_pay, sc, _LANES), jnp.int32),   # send
+            pltpu.VMEM((1 + n_pay, acc_rows, _LANES), jnp.int32),  # carry
+            pltpu.VMEM((1 + n_pay, sc, _LANES), jnp.int32),        # send
             pltpu.SMEM((4,), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],

@@ -707,9 +707,10 @@ def _sample_events_v3(
         payloads = [frame_order(kx).reshape(f * cb, seg)]
 
     chunk = 16384   # measured (round 3, compact_chunk probe): 2.24 Gelem/s
-                    # at 16384 vs 2.13 at 8192 and 1.93 at 32768
+                    # at 16384 vs 2.13 at 8192 and 1.93 at 32768; the
+                    # place-based kernel lifts it to 2.86 (compact_algo)
     chain_keys, chain_pays, _, _ = compact_rows(
-        keys0, payloads, cap=cap_bin, chunk=chunk)
+        keys0, payloads, cap=cap_bin, chunk=chunk, algo="place")
     rows = [chain_keys]
 
     if use_multi:

@@ -79,7 +79,7 @@ def _flatten_chunk_stream(s: EventStream, offsets_us: jax.Array,
         | s.p[:frames].astype(jnp.int32), 0)
     out_k, (out_p,), kept, _ = compact_rows(
         keys.reshape(1, frames * cap), [payload.reshape(1, frames * cap)],
-        cap=frames * cap, chunk=8192)
+        cap=frames * cap, chunk=8192, algo="place")
     out_k, out_p, kept = out_k[0], out_p[0], kept[0]
 
     idx = jax.lax.broadcasted_iota(jnp.int32, (1, out_k.shape[0]), 1)[0]
