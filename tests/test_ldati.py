@@ -297,3 +297,65 @@ def test_dropped_exact_end_to_end_dense():
         max_events_per_voxel=3, max_multi_voxels=64, capacity=4096)
     got = np.asarray(stream.count) + np.asarray(stream.dropped)
     np.testing.assert_array_equal(got, total_per_frame)
+
+
+def test_sort_cap_exact_when_no_overflow():
+    """The pre-sort width compaction (sort_cap) must produce a stream
+    IDENTICAL to the uncompacted sort when no (frame, bin) row overflows
+    it — the compaction only strips INVALID padding before ordering."""
+    import jax
+    import jax.numpy as jnp
+
+    from v2ce_toolbox_tpu.ops.ldati import sample_events
+
+    rng = np.random.RandomState(11)
+    bb, p, c, h, w = 1, 2, 10, 16, 16
+    voxels = (rng.rand(bb, p, c, h, w) < 0.3).astype(np.float32) * \
+        rng.randint(1, 5, (bb, p, c, h, w))
+
+    kwargs = dict(fps=30, max_events_per_voxel=8, capacity=1 << 14,
+                  cap_bin=2048, multi_cap=512)
+    a = sample_events(jnp.asarray(voxels), jax.random.key(5),
+                      sort_cap=None, **kwargs)
+    b = sample_events(jnp.asarray(voxels), jax.random.key(5),
+                      sort_cap=2048, **kwargs)
+    np.testing.assert_array_equal(np.asarray(a.count), np.asarray(b.count))
+    np.testing.assert_array_equal(np.asarray(a.dropped),
+                                  np.asarray(b.dropped))
+    n = int(a.count[0])
+    assert n > 100
+    np.testing.assert_array_equal(np.asarray(a.t_us)[:, :n],
+                                  np.asarray(b.t_us)[:, :n])
+    np.testing.assert_array_equal(np.asarray(a.x)[:, :n],
+                                  np.asarray(b.x)[:, :n])
+    np.testing.assert_array_equal(np.asarray(a.y)[:, :n],
+                                  np.asarray(b.y)[:, :n])
+    np.testing.assert_array_equal(np.asarray(a.p)[:, :n],
+                                  np.asarray(b.p)[:, :n])
+
+
+def test_sort_cap_overflow_is_accounted():
+    """When sort_cap is small enough to drop events, count + dropped must
+    still equal the analytic relocated totals (exact accounting)."""
+    import jax
+    import jax.numpy as jnp
+
+    from v2ce_toolbox_tpu.ops.ldati import relocate_counts, sample_events
+
+    rng = np.random.RandomState(7)
+    bb, p, c, h, w = 1, 2, 10, 12, 12
+    voxels = rng.uniform(2.0, 5.0, (bb, p, c, h, w)).astype(np.float32)
+
+    counts, _ = relocate_counts(
+        jnp.asarray(voxels).reshape(bb * p, c, h, w))
+    counts = np.asarray(counts).reshape(bb, p, 9, h, w)
+    total_per_frame = counts.sum(axis=(1, 2, 3, 4))
+
+    stream = sample_events(
+        jnp.asarray(voxels), jax.random.key(3),
+        max_events_per_voxel=4, capacity=1 << 14,
+        cap_bin=2048, multi_cap=256, sort_cap=256)
+    got = np.asarray(stream.count) + np.asarray(stream.dropped)
+    np.testing.assert_array_equal(got, total_per_frame)
+    t = np.asarray(stream.t_us[0][: int(stream.count[0])])
+    assert np.all(np.diff(t) >= 0)

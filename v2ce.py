@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stage2_pooling", type=str, default="none",
                    choices=["none", "avg", "weighted"],
                    help="spatial pooling before the slope fit")
+    p.add_argument("--stage2_sort_cap", type=int, default=1 << 14,
+                   help="pre-sort per-(frame,bin) row compaction width in "
+                        "the v3 sampler core; 0 disables. Overflow beyond "
+                        "any capacity knob is counted in `dropped` exactly")
     return p
 
 
@@ -117,6 +121,7 @@ def main(argv=None):
             fps=args.fps,
             additional_events_strategy=args.stage2_strategy,
             pooling_type=args.stage2_pooling,
+            sort_cap=args.stage2_sort_cap or None,
         ),
     )
     pipeline = V2cePipeline(config, model_path=args.model_path)

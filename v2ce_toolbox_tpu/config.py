@@ -90,6 +90,24 @@ class SamplerConfig:
     bidirectional: bool = False
     max_events_per_voxel: int = 32               # static cap replacing max(y)
     event_capacity: int = 1 << 19                # per-frame SoA buffer slots
+    # v3-core capacity knobs (overflow lands in `dropped` exactly):
+    cap_bin: int = 1 << 14        # chain events kept per (frame, bin) row
+    multi_cap: int = 4096         # multi-event voxel pool per row
+    sort_cap: Optional[int] = 1 << 14  # pre-sort row compaction width
+
+    def sample_kwargs(self) -> dict:
+        """kwargs for ops.ldati.sample_events (everything but voxels/key)."""
+        return dict(
+            fps=self.fps,
+            additional_events_strategy=self.additional_events_strategy,
+            pooling_type=self.pooling_type,
+            pooling_kernel_size=self.pooling_kernel_size,
+            bidirectional=self.bidirectional,
+            max_events_per_voxel=self.max_events_per_voxel,
+            capacity=self.event_capacity,
+            cap_bin=self.cap_bin, multi_cap=self.multi_cap,
+            sort_cap=self.sort_cap,
+        )
 
 
 @dataclasses.dataclass(frozen=True)

@@ -618,6 +618,7 @@ def _sample_events_v3(
     cap_bin: int,
     multi_cap: int,
     capacity: int,
+    sort_cap: Optional[int] = None,
 ) -> EventStream:
     """Sort-light sampler core. The reference's per-channel gather/argsort
     loops (LDATI.py:248-310) and the v2 flat kv sort (an honest 215 ms per
@@ -676,18 +677,33 @@ def _sample_events_v3(
         emit = jnp.where(is_chain, 1, jnp.minimum(counts, mepv))
         emit = jnp.maximum(emit, 0)
 
+    use_multi = strategy != "none" and mepv > 1
+    # defer non-chain slot-0 draws to AFTER the chain compaction: the
+    # drawn timestamp only matters for the post-compaction sort, and the
+    # compaction neither orders by key value nor drops by it (whole
+    # chunks drop in grid order), so drawing on the (f*cb, cap_bin)
+    # compacted rows instead of the full ~26M grid is exact — an ~11x cut
+    # in RNG + inverse-CDF volume. Needs the kx payload to identify
+    # non-chain slots (extra >= 1 iff counts >= 2 when mepv > 1), so the
+    # mepv == 1 corner keeps the pre-compaction draw.
+    defer_draw = use_multi
+
     # slot-0 timestamps, absolute int µs (same float math as v2/reference)
-    u0 = jax.random.uniform(jax.random.fold_in(key, 0), counts.shape)
     bin_start_s = bin_start_us_i.astype(jnp.float32) * 1e-6
     if strategy == "none":
         ts0 = chain_ts_us
+    elif defer_draw:
+        ts0 = chain_ts_us               # non-chain slots drawn later
     else:
+        u0 = jax.random.uniform(jax.random.fold_in(key, 0), counts.shape)
         t_add = _inverse_cdf_ts(u0, k, b, voxel_step)
         ts0 = jnp.where(
             is_chain, chain_ts_us,
             ((t_add + bin_start_s[None, :, None, None]) * 1e6
              ).astype(jnp.int32))
     rel0 = jnp.clip(ts0 - bin_start_us_i[None, :, None, None], 0, ts_cap)
+    if defer_draw:
+        rel0 = jnp.where(is_chain, rel0, 0)   # placeholder, drawn below
 
     # bin-major packed keys; vox id = within-bin flat id (P-flipped,
     # matching the reference's neg-then-pos tie order, LDATI.py:290-296)
@@ -697,7 +713,6 @@ def _sample_events_v3(
     packed0 = (rel0_f << vox_bits) | vox_iota
     keys0 = jnp.where(emit_f > 0, packed0, _INV).reshape(f * cb, seg)
 
-    use_multi = strategy != "none" and mepv > 1
     payloads = []
     if use_multi:
         extra = jnp.minimum(jnp.maximum(counts - 1, 0), mepv - 1)
@@ -711,6 +726,31 @@ def _sample_events_v3(
                     # place-based kernel lifts it to 2.86 (compact_algo)
     chain_keys, chain_pays, _, _ = compact_rows(
         keys0, payloads, cap=cap_bin, chunk=chunk, algo="place")
+
+    if defer_draw:
+        # deferred slot-0 draw for non-chain voxels (extra >= 1), on the
+        # compacted rows only. Bin starts recompute arithmetically per
+        # row (identical float expressions to the grid path: the caller
+        # builds bin_start_us_i as ((bin*step + t0)*1e6).astype(int32)).
+        ckx0 = chain_pays[0]
+        k_c = lax.bitcast_convert_type(ckx0 & ~jnp.int32(0xFF),
+                                       jnp.float32)
+        b_c = 1.0 / voxel_step - voxel_step * k_c / 2.0
+        u0c = jax.random.uniform(jax.random.fold_in(key, 0),
+                                 chain_keys.shape)
+        t_add_c = _inverse_cdf_ts(u0c, k_c, b_c, voxel_step)
+        rb = (lax.broadcasted_iota(jnp.int32, chain_keys.shape, 0)
+              % cb).astype(jnp.float32)
+        bs_us_row = ((rb * voxel_step + t0) * 1e6).astype(jnp.int32)
+        bs_s_row = bs_us_row.astype(jnp.float32) * 1e-6
+        ts_draw = ((t_add_c + bs_s_row) * 1e6).astype(jnp.int32)
+        rel_draw = jnp.clip(ts_draw - bs_us_row, 0, ts_cap)
+        non_chain = (chain_keys != _INV) & ((ckx0 & 0xFF) > 0)
+        chain_keys = jnp.where(
+            non_chain,
+            (rel_draw << vox_bits) | (chain_keys & vox_mask),
+            chain_keys)
+
     rows = [chain_keys]
 
     if use_multi:
@@ -757,8 +797,23 @@ def _sample_events_v3(
             rows.append(jnp.where(valid_j, (rel << vox_bits) | mvox[:, :n_j],
                                   _INV))
 
-    # ONE batched single-key sort per (frame, bin) row
-    merged = lax.sort(jnp.concatenate(rows, axis=1), dimension=1)
+    # ONE batched single-key sort per (frame, bin) row. The concatenated
+    # width (cap_bin + tier caps, ~31.6k at defaults) is capacity padding
+    # that is mostly INVALID in practice, and every segment is a
+    # front-packed valid prefix (chain rows by compaction, tier rows
+    # because the pool is extra-descending so `extra >= j` is a prefix) —
+    # so a pre-sort compaction to `sort_cap` cuts the sort's O(W log W)
+    # volume ~2x. Chunks beyond sort_cap drop whole, chains first in the
+    # concat order (favored on overflow); every such drop lands in
+    # `dropped` exactly via total_emit - kept below.
+    merged_in = jnp.concatenate(rows, axis=1)
+    if sort_cap is not None and sort_cap < merged_in.shape[1]:
+        # chunk <= sort_cap so the effective cap (rounded up to a chunk
+        # multiple) stays at sort_cap for power-of-two caps
+        merged_in, _, _, _ = compact_rows(
+            merged_in, (), cap=sort_cap, chunk=min(4096, sort_cap),
+            algo="place")
+    merged = lax.sort(merged_in, dimension=1)
 
     # merge the time-disjoint bins of each frame; carry the global voxel
     # id (bin * seg + vox) as payload so decode survives the merge
@@ -804,7 +859,7 @@ def _sample_events_v3(
         "fps", "pooling_type", "pooling_kernel_size",
         "additional_events_strategy", "bidirectional",
         "max_events_per_voxel", "max_multi_voxels", "capacity",
-        "use_v3", "cap_bin", "multi_cap",
+        "use_v3", "cap_bin", "multi_cap", "sort_cap",
     ),
 )
 def sample_events(
@@ -823,6 +878,7 @@ def sample_events(
     use_v3: bool = True,
     cap_bin: int = 1 << 14,
     multi_cap: int = 4096,
+    sort_cap: Optional[int] = 1 << 14,
 ) -> EventStream:
     """Sample a timestamped event stream from predicted voxels — the
     jit-compiled core of the LDATI sampler.
@@ -876,6 +932,7 @@ def sample_events(
             voxel_step=voxel_step, t0=t0,
             max_events_per_voxel=max_events_per_voxel,
             cap_bin=cap_bin, multi_cap=multi_cap, capacity=capacity,
+            sort_cap=sort_cap,
         )
 
     # Per-voxel emit counts. count == 1 voxels emit their chain event;

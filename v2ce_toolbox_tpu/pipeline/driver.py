@@ -258,13 +258,7 @@ class V2cePipeline:
                 sample_events(
                     v[i * chunk:(i + 1) * chunk],
                     jax.random.fold_in(key, i),
-                    fps=cfg.fps,
-                    additional_events_strategy=cfg.sampler.additional_events_strategy,
-                    pooling_type=cfg.sampler.pooling_type,
-                    pooling_kernel_size=cfg.sampler.pooling_kernel_size,
-                    bidirectional=cfg.sampler.bidirectional,
-                    max_events_per_voxel=cfg.sampler.max_events_per_voxel,
-                    capacity=cfg.sampler.event_capacity,
+                    **{**cfg.sampler.sample_kwargs(), "fps": cfg.fps},
                 )
             )
         recs: List[np.ndarray] = []
@@ -309,13 +303,7 @@ class V2cePipeline:
             s = sample_events(
                 v[i * chunk:(i + 1) * chunk],
                 jax.random.fold_in(key, i),
-                fps=cfg.fps,
-                additional_events_strategy=cfg.sampler.additional_events_strategy,
-                pooling_type=cfg.sampler.pooling_type,
-                pooling_kernel_size=cfg.sampler.pooling_kernel_size,
-                bidirectional=cfg.sampler.bidirectional,
-                max_events_per_voxel=cfg.sampler.max_events_per_voxel,
-                capacity=cfg.sampler.event_capacity,
+                **{**cfg.sampler.sample_kwargs(), "fps": cfg.fps},
             )
             base = i * chunk
             frames = min(chunk, t - base)
@@ -496,13 +484,7 @@ class V2cePipeline:
             skip = (cfg.seq_len - mode) if (is_last and mode) else 0
             s = sample_events(
                 v, jax.random.fold_in(key, i),
-                fps=cfg.fps,
-                additional_events_strategy=cfg.sampler.additional_events_strategy,
-                pooling_type=cfg.sampler.pooling_type,
-                pooling_kernel_size=cfg.sampler.pooling_kernel_size,
-                bidirectional=cfg.sampler.bidirectional,
-                max_events_per_voxel=cfg.sampler.max_events_per_voxel,
-                capacity=cfg.sampler.event_capacity,
+                **{**cfg.sampler.sample_kwargs(), "fps": cfg.fps},
             )
             offsets = ((np.arange(cfg.seq_len) + int(start)) / cfg.fps
                        * 1e6).astype(np.int32)
