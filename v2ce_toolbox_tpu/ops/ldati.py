@@ -619,6 +619,7 @@ def _sample_events_v3(
     multi_cap: int,
     capacity: int,
     sort_cap: Optional[int] = None,
+    pre_ordered: bool = False,
 ) -> EventStream:
     """Sort-light sampler core. The reference's per-channel gather/argsort
     loops (LDATI.py:248-310) and the v2 flat kv sort (an honest 215 ms per
@@ -668,6 +669,10 @@ def _sample_events_v3(
         "multi-pool ordering key")
 
     def frame_order(a):
+        # pre_ordered: the caller already laid the grid out as
+        # (B, C, P_flipped*H, W) — frame order is a free reshape
+        if pre_ordered:
+            return a.reshape(f, cb, seg)
         return frame_order_voxels(a, bb, p, cb, h, w).reshape(f, cb, seg)
 
     is_chain = counts == 1
@@ -895,12 +900,31 @@ def sample_events(
     assert pooling_type in ("none", "avg", "weighted")
     bb, p, c, h, w = voxels.shape
     n = bb * p
-    y = voxels.reshape(n, c, h, w).astype(jnp.float32)
-
     voxel_step = 1.0 / fps / (c - 1)
+    cb = c - 1  # bins after relocation
+
+    # v3 roll-compaction path: used whenever the sub-bin µs fit the packed
+    # int32 key (true for the 'slope'/'none' strategies at any realistic
+    # fps; 'random' draws whole-frame second offsets and falls back to the
+    # v2 sort path below).
+    seg_bits = max(int(np.ceil(np.log2(max(p * h * w, 2)))), 1)
+    max_rel_us = int(voxel_step * 1e6) + 2
+    take_v3 = (use_v3 and additional_events_strategy in ("none", "slope")
+               and max_rel_us <= (1 << (31 - seg_bits)) - 2)
+    # pre-ordered layout: apply the frame_order_voxels transpose ONCE to
+    # the input grid — (B, P, C, H, W) -> (B, C, P_flipped*H, W) — so
+    # every downstream frame_order is a free reshape instead of a
+    # 26M-element plane copy. relocate/slope/packing are elementwise over
+    # the trailing dims, so the math is bit-identical; spatial pooling
+    # would cross the P*H fold, so it keeps the per-polarity layout.
+    pre_ordered = take_v3 and pooling_type == "none"
+    if pre_ordered:
+        y = jnp.swapaxes(jnp.flip(voxels, 1), 1, 2)
+        y = y.reshape(bb, c, p * h, w).astype(jnp.float32)
+    else:
+        y = voxels.reshape(n, c, h, w).astype(jnp.float32)
 
     counts, tendency = relocate_counts(y, bidirectional=bidirectional)
-    cb = c - 1  # bins after relocation
 
     # Chain timestamps in µs (reference: LDATI.py:155-165).
     bin_starts = (jnp.arange(cb, dtype=jnp.float32) * voxel_step + t0)
@@ -916,14 +940,7 @@ def sample_events(
         k = jnp.zeros_like(chain_ts)
         b = jnp.zeros_like(chain_ts)
 
-    # v3 roll-compaction path: used whenever the sub-bin µs fit the packed
-    # int32 key (true for the 'slope'/'none' strategies at any realistic
-    # fps; 'random' draws whole-frame second offsets and falls back to the
-    # v2 sort path below).
-    seg_bits = max(int(np.ceil(np.log2(max(p * h * w, 2)))), 1)
-    max_rel_us = int(voxel_step * 1e6) + 2
-    if (use_v3 and additional_events_strategy in ("none", "slope")
-            and max_rel_us <= (1 << (31 - seg_bits)) - 2):
+    if take_v3:
         return _sample_events_v3(
             counts, chain_ts_us, k, b,
             (bin_starts * 1e6).astype(jnp.int32), key,
@@ -932,7 +949,7 @@ def sample_events(
             voxel_step=voxel_step, t0=t0,
             max_events_per_voxel=max_events_per_voxel,
             cap_bin=cap_bin, multi_cap=multi_cap, capacity=capacity,
-            sort_cap=sort_cap,
+            sort_cap=sort_cap, pre_ordered=pre_ordered,
         )
 
     # Per-voxel emit counts. count == 1 voxels emit their chain event;
