@@ -399,20 +399,23 @@ def probe_sampler_phases():
                     * rng.rand(f, p, c, h, w).astype(np.float32) * 4)
 
     def gen(args):
+        # pre_ordered entry layout (ldati.sample_events): ONE transpose of
+        # the input grid, downstream frame_order is a reshape
         vv, = args
-        y = vv.reshape(f * p, c, h, w)
+        y = jnp.swapaxes(jnp.flip(vv, 1), 1, 2).reshape(f, c, p * h, w)
         counts, tendency = relocate_counts(y)
         k, b = slope_params(counts.astype(jnp.float32), 30)
         rel = (tendency * 3703).astype(jnp.int32)
         emit = jnp.minimum(counts, 32)
-        rel_f = frame_order_voxels(rel, f, p, cb, h, w).reshape(f, cb, seg)
-        emit_f = frame_order_voxels(emit, f, p, cb, h, w).reshape(f, cb, seg)
+        rel_f = rel.reshape(f, cb, seg)
+        emit_f = emit.reshape(f, cb, seg)
         vox = lax.broadcasted_iota(jnp.int32, (f, cb, seg), 2)
         keys = jnp.where(emit_f > 0, (rel_f << 18) | vox, INVALID)
         return keys.sum(), k.sum()
 
     dt = timed_loop(gen, (v,), n_iters=10)
-    print(f"phase gen(relocate+slope+pack): {dt*1e3:.2f} ms", flush=True)
+    print(f"phase gen(pre-ordered relocate+slope+pack): {dt*1e3:.2f} ms",
+          flush=True)
 
     keys0 = np.where(rng.rand(f * cb, seg) < 0.15,
                      rng.randint(0, 1 << 30, (f * cb, seg)),
@@ -425,36 +428,41 @@ def probe_sampler_phases():
 
     def chain(args):
         kk, px = args
-        o, (op,), kc, t = compact_rows(kk, [px], cap=1 << 15, chunk=8192)
+        o, (op,), kc, t = compact_rows(kk, [px], cap=1 << 14, chunk=16384,
+                                       algo="place")
         return o[:, ::255].astype(jnp.int64).sum(), kc.sum()
 
     dt = timed_loop(chain, (jnp.asarray(keys0), jnp.asarray(kx)),
                     n_iters=10, perturb=perturb)
-    print(f"phase chain compaction (1 payload): {dt*1e3:.2f} ms", flush=True)
+    print(f"phase chain compaction (place, 1 payload): {dt*1e3:.2f} ms",
+          flush=True)
 
-    sort_in = jnp.asarray(rng.randint(0, 1 << 30, (f * cb, 55296), np.int32))
+    # post-sort_cap width: cap_bin(16k) + tiers pre-compacted to 16k
+    sort_in = jnp.asarray(rng.randint(0, 1 << 30, (f * cb, 16384), np.int32))
 
     def srt(args):
         kk, = args
         return lax.sort(kk, dimension=1)
 
     dt = timed_loop(srt, (sort_in,), n_iters=10, perturb=perturb)
-    print(f"phase per-bin sort (144x55k): {dt*1e3:.2f} ms", flush=True)
+    print(f"phase per-bin sort (144x16k post-sort_cap): {dt*1e3:.2f} ms",
+          flush=True)
 
-    merge_in = jnp.asarray(np.where(
-        rng.rand(f, cb * 55296) < 0.3,
-        rng.randint(0, 1 << 30, (f, cb * 55296)), INVALID).astype(np.int32))
-    merge_px = jnp.asarray(rng.randint(0, 1 << 20, (f, cb * 55296),
-                                       np.int32))
+    from v2ce_toolbox_tpu.ops.compact_pallas import merge_sorted_rows
+    mrow = np.sort(np.where(rng.rand(f * cb, 16384) < 0.3,
+                            rng.randint(0, 1 << 30, (f * cb, 16384)),
+                            INVALID).astype(np.int32), axis=1)
+    merge_px = rng.randint(0, 1 << 20, (f * cb, 16384)).astype(np.int32)
 
     def merge(args):
         kk, px = args
-        o, (op,), kc, t = compact_rows(kk, [px], cap=1 << 19, chunk=8192)
+        o, (op,), kc, t = merge_sorted_rows(kk, [px], nb=cb, cap=1 << 19)
         return o[:, ::255].astype(jnp.int64).sum(), kc.sum()
 
-    dt = timed_loop(merge, (merge_in, merge_px), n_iters=10, perturb=perturb)
-    print(f"phase frame merge (16x498k, 1 payload): {dt*1e3:.2f} ms",
-          flush=True)
+    dt = timed_loop(merge, (jnp.asarray(mrow), jnp.asarray(merge_px)),
+                    n_iters=10, perturb=perturb)
+    print(f"phase frame merge (append, 144x16k -> 16 frames): "
+          f"{dt*1e3:.2f} ms", flush=True)
 
 
 PROBES["sampler_phases"] = probe_sampler_phases
