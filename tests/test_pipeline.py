@@ -186,6 +186,43 @@ def test_render_parity(keep_polarity):
     assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1
 
 
+@pytest.mark.parametrize("keep_polarity", [True, False])
+def test_render_driver_paths_parity(keep_polarity):
+    """The driver's channel-major render and the streaming driver's
+    from-sums render (both fetch CONTENT channels only — the zero B plane
+    / gray replication is assembled host-side) produce the same frames as
+    the channels-last device render."""
+    import jax.numpy as jnp
+
+    from v2ce_toolbox_tpu.pipeline.render import (
+        render_event_frames,
+        render_event_frames_cmajor,
+        render_event_frames_from_sums,
+    )
+
+    rng = np.random.RandomState(11)
+    t, h, w = 4, 6, 7
+    # integer-valued voxels: the three paths sum bins in different orders
+    vox_cm = np.floor(rng.rand(t, 20, h, w).astype(np.float32) * 4)
+
+    base = np.asarray(render_event_frames(
+        jnp.asarray(np.moveaxis(vox_cm, 1, -1)), ceil=10.0,
+        upper_bound_percentile=98, keep_polarity=keep_polarity))
+    cm = render_event_frames_cmajor(
+        jnp.asarray(vox_cm), ceil=10.0, upper_bound_percentile=98,
+        keep_polarity=keep_polarity)
+    sums = render_event_frames_from_sums(
+        jnp.asarray(vox_cm.reshape(t, 2, 10, h, w).sum(axis=2)),
+        ceil=10.0, upper_bound_percentile=98, keep_polarity=keep_polarity)
+
+    assert cm.shape == base.shape == sums.shape == (t, h, w, 3)
+    assert cm.dtype == np.uint8 and sums.dtype == np.uint8
+    np.testing.assert_array_equal(cm, base)
+    np.testing.assert_array_equal(sums, base)
+    if keep_polarity:
+        assert (cm[..., 2] == 0).all()
+
+
 # ---------------------------------------------------------------------------
 # end-to-end smoke (small geometry, random init)
 # ---------------------------------------------------------------------------

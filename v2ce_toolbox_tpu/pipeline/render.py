@@ -57,20 +57,44 @@ def render_event_frames_cmajor(voxels, *, ceil: float = 10.0,
 
     This is the driver's path: W-minor layouts pad only 346->384 under
     TPU tiling (channels-minor f32 pads 6.4-65x and OOM'd long clips),
-    and the fetch is 3-channel uint8 (~27x less tunnel traffic than
-    pulling f32 voxels for a host render)."""
+    and the fetch is CONTENT channels only — 2 uint8 planes for rgb
+    (B is identically zero, appended on host), 1 for gray (replicated on
+    host): ~40x less tunnel traffic than pulling f32 voxels, 1.5-3x less
+    than fetching the assembled 3-channel frames."""
     out = _render_cmajor_jit(
         voxels, ceil=float(ceil),
         upper_bound_percentile=upper_bound_percentile,
         keep_polarity=keep_polarity)
-    return np.moveaxis(np.asarray(out), 1, -1)
+    return _assemble_channels(np.asarray(out), keep_polarity)
 
 
-def _percentile_bound(flat, upper_bound_percentile, ceil):
+def _assemble_channels(out: np.ndarray, keep_polarity: bool) -> np.ndarray:
+    """(T, 2|1, H, W) fetched content channels -> (T, H, W, 3) frames."""
+    t, _, h, w = out.shape
+    if keep_polarity:
+        out = np.concatenate(
+            [out, np.zeros((t, 1, h, w), np.uint8)], axis=1)
+    else:
+        out = np.repeat(out, 3, axis=1)
+    return np.moveaxis(out, 1, -1)
+
+
+def _percentile_bound(flat, upper_bound_percentile, ceil, *,
+                      select_len=None, dup=1):
     """min(percentile of nonzero values, ceil): exact order-statistic
     interpolation for small inputs, count-threshold bisection beyond (the
-    nanpercentile sort crashes the TPU compiler at ~86M elements)."""
-    if flat.shape[0] <= (1 << 21):
+    nanpercentile sort crashes the TPU compiler at ~86M elements).
+
+    select_len/dup preserve bit-exact parity with the legacy 3-channel
+    bound when the caller passes content channels only: the exact-vs-
+    bisection switch uses the virtual 3-channel length, and gray-mode
+    values are re-duplicated (dup=3) on the exact path (quantile
+    interpolation over the duplicated multiset differs slightly from the
+    unique set; the bisection is scale-invariant so dup is skipped there,
+    and zeros never enter either bound)."""
+    if (select_len if select_len is not None else flat.shape[0]) <= (1 << 21):
+        if dup > 1:
+            flat = jnp.repeat(flat, dup)
         nz = jnp.where(flat > 0, flat, jnp.nan)
         bound = jnp.nanpercentile(nz, upper_bound_percentile)
         bound = jnp.nan_to_num(bound, nan=1.0)
@@ -102,7 +126,7 @@ def render_event_frames_from_sums(ef2, *, ceil: float = 10.0,
         ef2, ceil=float(ceil),
         upper_bound_percentile=upper_bound_percentile,
         keep_polarity=keep_polarity)
-    return np.moveaxis(np.asarray(out), 1, -1)
+    return _assemble_channels(np.asarray(out), keep_polarity)
 
 
 @functools.partial(jax.jit, static_argnames=("keep_polarity",
@@ -110,14 +134,20 @@ def render_event_frames_from_sums(ef2, *, ceil: float = 10.0,
                                              "ceil"))
 def _finish_render_jit(ef2, *, ceil, upper_bound_percentile,
                        keep_polarity):
+    """Device render down to CONTENT channels only: (t, 2, h, w) uint8 for
+    rgb (R = ON, G = OFF; the zero B plane is appended host-side), (t, 1,
+    h, w) for gray (replicated host-side) — the host fetch is the CLI's
+    dominant cost through the tunnel and the dropped planes carry no
+    information. The percentile bound stays bit-identical to the legacy
+    3-channel math via select_len/dup (see _percentile_bound)."""
     t, _, h, w = ef2.shape
     if keep_polarity:
-        efs = jnp.concatenate(
-            [ef2, jnp.zeros((t, 1, h, w), ef2.dtype)], axis=1)
+        efs = ef2
     else:
-        efs = jnp.repeat(ef2.sum(axis=1, keepdims=True), 3, axis=1)
-    bound = _percentile_bound(efs.reshape(-1), upper_bound_percentile,
-                              ceil)
+        efs = ef2.sum(axis=1, keepdims=True)
+    bound = _percentile_bound(
+        efs.reshape(-1), upper_bound_percentile, ceil,
+        select_len=t * 3 * h * w, dup=1 if keep_polarity else 3)
     efs = jnp.clip(efs, 0, bound) / bound
     return (efs * 255.0).astype(jnp.uint8)
 
