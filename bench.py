@@ -91,10 +91,10 @@ def main():
         # returning only the count lets XLA dead-code-eliminate the
         # timestamp sort entirely (discovered in round 2 — the round-1
         # number was measured sort-free).
-        packed, kept, exc_idx, exc_key, n_exc, _ = _flatten_chunk_stream(
+        words, kept, side_key, n_side, side_total = _flatten_chunk_stream(
             stream, offsets_us, seq_len)
-        return ((packed % 97).sum() + (exc_idx % 89).sum()
-                + (exc_key % 83).sum() + n_exc
+        return ((words % 97).sum().astype(jnp.int32)
+                + (side_key % 83).sum() + n_side + side_total
                 + kept + stream.dropped.sum()).astype(jnp.float32)
 
     n_iters = 20

@@ -340,9 +340,9 @@ def test_streaming_run_matches_batch_counts(tmp_path):
 
 
 def test_delta_wire_format_roundtrip():
-    """The delta-encoded device->host event wire format reconstructs the
+    """The bit-packed device->host event wire format reconstructs the
     exact absolute timestamps and (x, y, p) of the direct recarray path,
-    including >4094 µs gaps and window-start jumps (exception path)."""
+    including >=7 µs gaps and window-start jumps (side-list path)."""
     import jax.numpy as jnp
 
     from v2ce_toolbox_tpu.events import EventStream
@@ -372,16 +372,15 @@ def test_delta_wire_format_roundtrip():
                     jnp.zeros_like(jnp.asarray(counts)))
     offsets = (np.arange(frames) / 30 * 1e6).astype(np.int32)
 
-    packed, kept, exc_idx, exc_key, n_exc, exc_total = (
+    words, kept, side_key, n_side, side_total = (
         _flatten_chunk_stream(s, jnp.asarray(offsets), frames))
     n = int(kept)
-    m = int(n_exc)
+    m = int(n_side)
     assert n == counts.sum()
-    assert int(exc_total) == m
+    assert int(side_total) == m
     assert m >= 2      # at least the first event and the empty-frame gap
     ts, xd, yd, pd = _decode_packed_events(
-        np.asarray(packed[:n]), np.asarray(exc_idx[:m]),
-        np.asarray(exc_key[:m]))
+        np.asarray(words[:, :-(-n // 32)]), np.asarray(side_key[:m]), n)
 
     # reference: direct flatten on host
     ref_t, ref_x, ref_y, ref_p = [], [], [], []
@@ -419,12 +418,11 @@ def test_delta_wire_format_skip_lead():
                     jnp.asarray(counts),
                     jnp.zeros_like(jnp.asarray(counts)))
     offsets = (np.arange(frames) * 33333).astype(np.int32)
-    packed, kept, exc_idx, exc_key, n_exc, _ = _flatten_chunk_stream(
+    words, kept, side_key, n_side, _ = _flatten_chunk_stream(
         s, jnp.asarray(offsets), frames, skip_lead=2)
-    n, m = int(kept), int(n_exc)
+    n, m = int(kept), int(n_side)
     assert n == 30
     ts, _, _, _ = _decode_packed_events(
-        np.asarray(packed[:n]), np.asarray(exc_idx[:m]),
-        np.asarray(exc_key[:m]))
+        np.asarray(words[:, :-(-n // 32)]), np.asarray(side_key[:m]), n)
     np.testing.assert_array_equal(
         ts, np.arange(30, dtype=np.int64) * 7 + 2 * 33333)

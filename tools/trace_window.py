@@ -60,10 +60,10 @@ def build(compute_dtype=jnp.float32):
             additional_events_strategy=scfg.additional_events_strategy,
             max_events_per_voxel=scfg.max_events_per_voxel,
             capacity=scfg.event_capacity)
-        packed, kept, exc_idx, exc_key, n_exc, _ = _flatten_chunk_stream(
+        words, kept, side_key, n_side, side_total = _flatten_chunk_stream(
             stream, offsets_us, SEQ)
-        return ((packed % 97).sum() + (exc_idx % 89).sum()
-                + (exc_key % 83).sum() + n_exc
+        return ((words % 97).sum().astype(jnp.int32)
+                + (side_key % 83).sum() + n_side + side_total
                 + kept + stream.dropped.sum()).astype(jnp.float32)
 
     return frames0, fwd, sample

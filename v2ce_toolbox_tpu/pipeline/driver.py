@@ -38,30 +38,46 @@ from v2ce_toolbox_tpu.pipeline.windows import plan_windows
 import functools
 
 
-# Delta-encoded event wire format (device -> host). The event stream is
-# nondecreasing in time, with a sub-µs mean inter-event gap on dense
-# footage, so the int32 absolute-µs key compresses to a 12-bit delta
-# riding in ONE int32 word with the (x, y, p) payload:
-#   bits 19..30: delta µs vs previous event (DELTA_MARKER = exception)
+# Bit-packed delta event wire format (device -> host). The event stream
+# is nondecreasing in time with a sub-µs mean inter-event gap on dense
+# footage, so the int32 absolute-µs key compresses to a 3-bit delta in a
+# 22-bit record, bit-packed into a dense word stream (ops/bitpack.py):
+#   bits 19..21: delta µs vs previous event (7 = DELTA_MARKER: the
+#                absolute key rides the in-order side list instead)
 #   bits 10..18: x, bits 1..9: y, bit 0: polarity
-# Events whose delta does not fit (window starts, empty-scene gaps) land
-# in a small (index, absolute key) exception list, patched on the host.
-# Halves the dominant device->host transfer term of the CLI (8 B/event
-# -> 4 B + ~0.1% exceptions; see PERF.md round-2 tunnel analysis).
-DELTA_MARKER = (1 << 12) - 1
-_EXC_CAP = 1 << 15
+# 2.75 B/event + 4 B per marker, vs 8 B/event for (t, payload) words —
+# the dominant device->host CLI term on tunneled infra (PERF.md). The
+# side list needs no positions: markers are visible in the delta field,
+# so the host pairs them up in order. Its capacity is physical, not
+# statistical: every marker means a >= 7 µs gap, so a chunk spanning
+# span_us holds at most span_us/7 of them (+ first events per frame).
+DELTA_BITS = 3
+DELTA_MARKER = (1 << DELTA_BITS) - 1
+REC_BITS = 19 + DELTA_BITS
 
 
-@functools.partial(jax.jit, static_argnames=("frames", "skip_lead"))
+def _side_cap(frames: int, cap: int, span_us: int) -> int:
+    """Static side-list capacity from the >= 7 µs-per-marker bound."""
+    n = min(frames * cap, span_us // DELTA_MARKER + frames + 64)
+    return -(-n // 2048) * 2048
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("frames", "skip_lead", "side_cap"))
 def _flatten_chunk_stream(s: EventStream, offsets_us: jax.Array,
-                          frames: int, skip_lead: int = 0):
+                          frames: int, skip_lead: int = 0,
+                          side_cap: int = 1 << 17):
     """Device-side flatten of a chunk's per-frame event buffers into one
-    valid-prefix delta-encoded stream (wire format above), roll-compacted
-    so the host fetches only `kept` words instead of frames x capacity
-    buffer slots. `skip_lead` drops the first frames (the streaming path's
-    last window re-emits only its non-overlapping tail, like merge_voxels).
+    valid-prefix bit-packed stream (wire format above), roll-compacted so
+    the host fetches only ceil(kept/32) word columns instead of frames x
+    capacity buffer slots. `skip_lead` drops the first frames (the
+    streaming path's last window re-emits only its non-overlapping tail,
+    like merge_voxels).
 
-    Returns (packed, kept, exc_idx, exc_key, n_exc)."""
+    Returns (words (REC_BITS, N/32) uint32, kept, side_key, n_side,
+    side_total); side_total > n_side means side overflow (callers assert
+    equality; the physical _side_cap bound makes that unreachable)."""
+    from v2ce_toolbox_tpu.ops.bitpack import pack_bits
     from v2ce_toolbox_tpu.ops.compact_pallas import INVALID, compact_rows
 
     t_us = s.t_us[:frames]
@@ -88,27 +104,35 @@ def _flatten_chunk_stream(s: EventStream, offsets_us: jax.Array,
     delta = out_k - prev                  # first event: its absolute key
     is_exc = in_prefix & ((delta < 0) | (delta >= DELTA_MARKER))
     delta_enc = jnp.where(is_exc, DELTA_MARKER, jnp.maximum(delta, 0))
-    packed = jnp.where(in_prefix, (delta_enc << 19) | out_p, 0)
+    recs = jnp.where(in_prefix, (delta_enc << 19) | out_p, 0)
+    words = pack_bits(recs, REC_BITS)
 
-    exc_keys_in = jnp.where(is_exc, idx, INVALID)
-    exc_idx, (exc_key,), n_exc, exc_total = compact_rows(
-        exc_keys_in[None], [out_k[None]], cap=_EXC_CAP, chunk=2048)
-    return packed, kept, exc_idx[0], exc_key[0], n_exc[0], exc_total[0]
+    side_in = jnp.where(is_exc, idx, INVALID)
+    _, (side_key,), n_side, side_total = compact_rows(
+        side_in[None], [out_k[None]], cap=side_cap, chunk=2048)
+    return words, kept, side_key[0], n_side[0], side_total[0]
 
 
-def _decode_packed_events(packed: np.ndarray, exc_idx: np.ndarray,
-                          exc_key: np.ndarray):
-    """Host-side decode of the delta wire format: returns (t_us int64, x,
-    y, p). `packed` must already be sliced to the kept length; exc arrays
-    to n_exc."""
-    pk = np.asarray(packed)
-    delta = (pk >> 19) & 0xFFF
-    x = ((pk >> 10) & 0x1FF).astype(np.int16)
-    y = ((pk >> 1) & 0x1FF).astype(np.int16)
-    p = (pk & 1).astype(np.int8)
-    ts = np.cumsum(delta.astype(np.int64))
-    for i, k in zip(np.asarray(exc_idx), np.asarray(exc_key)):
-        ts[i:] += int(k) - ts[i]
+def _decode_packed_events(words: np.ndarray, side_key: np.ndarray, n: int):
+    """Host-side decode of the bit-packed wire format: returns (t_us
+    int64, x, y, p). `words` must already be sliced to ceil(n/32) word
+    columns; side_key to n_side."""
+    from v2ce_toolbox_tpu.ops.bitpack import unpack_bits
+
+    recs = unpack_bits(words, REC_BITS, n)
+    delta = (recs >> 19) & DELTA_MARKER
+    x = ((recs >> 10) & 0x1FF).astype(np.int16)
+    y = ((recs >> 1) & 0x1FF).astype(np.int16)
+    p = (recs & 1).astype(np.int8)
+    marker = delta == DELTA_MARKER
+    raw = np.cumsum(np.where(marker, 0, delta).astype(np.int64))
+    side = np.asarray(side_key).astype(np.int64)
+    seg = np.cumsum(marker)               # 0 before the first marker
+    n_marker = int(seg[-1]) if n else 0
+    assert side.shape[0] == n_marker, (side.shape, n_marker)
+    base = np.concatenate(
+        [np.zeros(1, np.int64), side - raw[np.flatnonzero(marker)]])
+    ts = raw + base[seg]
     return ts, x, y, p
 
 logger = logging.getLogger(__name__)
@@ -310,17 +334,20 @@ class V2cePipeline:
             offsets64 = ((np.arange(chunk) + base) / cfg.fps * 1e6
                          ).astype(np.int64)
             if flat_ok:
-                packed, kept, exc_idx, exc_key, n_exc, exc_total = (
+                scap = _side_cap(frames, int(s.t_us.shape[1]),
+                                 int((frames + 1) * 1e6 / cfg.fps) + 2)
+                words, kept, side_key, n_side, side_total = (
                     _flatten_chunk_stream(
-                        s, jnp.asarray(offsets64.astype(np.int32)), frames))
+                        s, jnp.asarray(offsets64.astype(np.int32)), frames,
+                        side_cap=scap))
                 n = int(kept)
-                assert int(exc_total) == (m := int(n_exc)) <= _EXC_CAP
+                assert int(side_total) == (m := int(n_side)) <= scap
                 # exact-length fetch: through the ~0.5 MB/s axon tunnel
                 # the transfer volume dominates wall clock (quantizing the
                 # slice length to reuse compiled shapes fetched 2.4x more
                 # bytes and measured slower end to end)
                 ts, x_, y_, p_ = _decode_packed_events(
-                    packed[:n], exc_idx[:m], exc_key[:m])
+                    np.asarray(words[:, :-(-n // 32)]), side_key[:m], n)
                 out = np.zeros(n, dtype=EVENT_DTYPE)
                 out["timestamp"] = ts
                 out["x"], out["y"], out["polarity"] = x_, y_, p_
@@ -488,15 +515,18 @@ class V2cePipeline:
             )
             offsets = ((np.arange(cfg.seq_len) + int(start)) / cfg.fps
                        * 1e6).astype(np.int32)
-            packed, kept, exc_idx, exc_key, n_exc, exc_total = (
+            scap = _side_cap(cfg.seq_len, int(s.t_us.shape[1]),
+                             int((cfg.seq_len + 1) * 1e6 / cfg.fps) + 2)
+            words, kept, side_key, n_side, side_total = (
                 _flatten_chunk_stream(
-                    s, jnp.asarray(offsets), cfg.seq_len, skip_lead=skip))
+                    s, jnp.asarray(offsets), cfg.seq_len, skip_lead=skip,
+                    side_cap=scap))
             if cfg.write_event_frame_video:
                 ef_sums.append(v.sum(axis=2)[skip:])    # (16-skip, 2, H, W)
             n = int(kept)
-            assert int(exc_total) == (m := int(n_exc)) <= _EXC_CAP
+            assert int(side_total) == (m := int(n_side)) <= scap
             ts, x_, y_, p_ = _decode_packed_events(
-                packed[:n], exc_idx[:m], exc_key[:m])
+                np.asarray(words[:, :-(-n // 32)]), side_key[:m], n)
             out = np.zeros(n, dtype=EVENT_DTYPE)
             out["timestamp"] = ts
             out["x"], out["y"], out["polarity"] = x_, y_, p_
