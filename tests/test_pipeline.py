@@ -426,3 +426,91 @@ def test_delta_wire_format_skip_lead():
         np.asarray(words[:, :-(-n // 32)]), np.asarray(side_key[:m]), n)
     np.testing.assert_array_equal(
         ts, np.arange(30, dtype=np.int64) * 7 + 2 * 33333)
+
+
+def test_adaptive_wire_format_switches_to_12bit_on_sparse():
+    """Sparse streams (most gaps >= 7 µs) would pay 4 B/marker on nearly
+    every event under 3-bit deltas; _fetch_chunk_events must re-dispatch
+    at delta_bits=12 and still reconstruct the exact stream."""
+    import jax.numpy as jnp
+
+    from v2ce_toolbox_tpu.events import EventStream
+    from v2ce_toolbox_tpu.pipeline.driver import (
+        _SPARSE_SWITCH,
+        _fetch_chunk_events,
+        _flatten_chunk_stream,
+    )
+
+    rng = np.random.RandomState(5)
+    frames, cap = 4, 512
+    counts = np.full(frames, 40, np.int32)    # ~40 events / 33 ms frame
+    t = np.full((frames, cap), np.iinfo(np.int32).max, np.int32)
+    x = np.zeros((frames, cap), np.int16)
+    y = np.zeros((frames, cap), np.int16)
+    p = np.zeros((frames, cap), np.int8)
+    for f in range(frames):
+        n = counts[f]
+        t[f, :n] = np.sort(rng.randint(0, 33334, n)).astype(np.int32)
+        x[f, :n] = rng.randint(0, 346, n)
+        y[f, :n] = rng.randint(0, 260, n)
+        p[f, :n] = rng.randint(0, 2, n)
+    s = EventStream(jnp.asarray(t), jnp.asarray(x), jnp.asarray(y),
+                    jnp.asarray(p), jnp.asarray(counts),
+                    jnp.zeros_like(jnp.asarray(counts)))
+    offsets = jnp.asarray((np.arange(frames) / 30 * 1e6).astype(np.int32))
+
+    # precondition: the 3-bit format really is marker-dominated here
+    _, kept3, _, n_side3, _ = _flatten_chunk_stream(s, offsets, frames)
+    assert int(n_side3) > int(kept3) * _SPARSE_SWITCH
+
+    out = _fetch_chunk_events(s, offsets, frames, fps=30)
+    ref_t = np.concatenate(
+        [t[f, :counts[f]].astype(np.int64) + int(offsets[f])
+         for f in range(frames)])
+    assert len(out) == counts.sum()
+    np.testing.assert_array_equal(out["timestamp"], ref_t)
+    np.testing.assert_array_equal(
+        out["x"], np.concatenate([x[f, :counts[f]] for f in range(frames)]))
+
+
+def test_adaptive_wire_format_dense_stays_3bit_and_roundtrips():
+    """Dense streams keep the 22-bit records; _fetch_chunk_events output
+    equals the direct host flatten."""
+    import jax.numpy as jnp
+
+    from v2ce_toolbox_tpu.events import EventStream
+    from v2ce_toolbox_tpu.pipeline.driver import (
+        _SPARSE_SWITCH,
+        _fetch_chunk_events,
+        _flatten_chunk_stream,
+    )
+
+    rng = np.random.RandomState(6)
+    frames, cap = 3, 1 << 15
+    counts = np.full(frames, 20000, np.int32)  # mean gap ~1.7 µs
+    t = np.full((frames, cap), np.iinfo(np.int32).max, np.int32)
+    x = np.zeros((frames, cap), np.int16)
+    y = np.zeros((frames, cap), np.int16)
+    p = np.zeros((frames, cap), np.int8)
+    for f in range(frames):
+        n = counts[f]
+        t[f, :n] = np.sort(rng.randint(0, 33334, n)).astype(np.int32)
+        x[f, :n] = rng.randint(0, 346, n)
+        y[f, :n] = rng.randint(0, 260, n)
+        p[f, :n] = rng.randint(0, 2, n)
+    s = EventStream(jnp.asarray(t), jnp.asarray(x), jnp.asarray(y),
+                    jnp.asarray(p), jnp.asarray(counts),
+                    jnp.zeros_like(jnp.asarray(counts)))
+    offsets = jnp.asarray((np.arange(frames) / 30 * 1e6).astype(np.int32))
+
+    _, kept3, _, n_side3, _ = _flatten_chunk_stream(s, offsets, frames)
+    assert int(n_side3) <= int(kept3) * _SPARSE_SWITCH   # dense precondition
+
+    out = _fetch_chunk_events(s, offsets, frames, fps=30)
+    ref_t = np.concatenate(
+        [t[f, :counts[f]].astype(np.int64) + int(offsets[f])
+         for f in range(frames)])
+    np.testing.assert_array_equal(out["timestamp"], ref_t)
+    np.testing.assert_array_equal(
+        out["polarity"],
+        np.concatenate([p[f, :counts[f]] for f in range(frames)]))

@@ -95,10 +95,14 @@ class SamplerConfig:
     multi_cap: int = 4096         # multi-event voxel pool per row
     sort_cap: Optional[int] = 1 << 14  # pre-sort row compaction width
 
-    def sample_kwargs(self) -> dict:
-        """kwargs for ops.ldati.sample_events (everything but voxels/key)."""
+    def sample_kwargs(self, fps: Optional[int] = None) -> dict:
+        """kwargs for ops.ldati.sample_events (everything but voxels/key).
+
+        `fps` overrides the sampler-local default — pipeline call sites
+        pass their PipelineConfig.fps so frame offsets and sampled
+        timestamps can never disagree on the frame period."""
         return dict(
-            fps=self.fps,
+            fps=self.fps if fps is None else fps,
             additional_events_strategy=self.additional_events_strategy,
             pooling_type=self.pooling_type,
             pooling_kernel_size=self.pooling_kernel_size,

@@ -242,9 +242,17 @@ class MVSECSequence:
         cfg = self.cfg
         if self.train:
             # resample until the frame pair has enough events
-            # (event_loader.py:208-216 with its fixed 100 threshold)
-            while self.count_events(ind, ind + 1) < cfg.min_events:
+            # (event_loader.py:208-216 with its fixed 100 threshold);
+            # bounded, unlike the reference, so a recording where no pair
+            # qualifies raises instead of hanging a loader worker forever
+            for attempt in range(10 * max(len(self), 1)):
+                if self.count_events(ind, ind + 1) >= cfg.min_events:
+                    break
                 ind = int(self.rng.integers(0, len(self)))
+            else:
+                raise ValueError(
+                    f"{self.path}: no frame pair reaches min_events="
+                    f"{cfg.min_events}")
         pind, cind = self.get_prev_next_inds(ind)
         bbox = self.get_box()
 

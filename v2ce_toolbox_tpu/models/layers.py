@@ -52,13 +52,17 @@ def _apply_conv(x: jax.Array, kernel: jax.Array, strides, padding,
         pred = conv_impl[3:]
         cin, cout = kernel.shape[3], kernel.shape[4]
         strided = tuple(strides) != (1, 1, 1)
-        hit = {
+        preds = {
             "all": True,
             "head": cin == 2,
             "strided": strided,
             "small": (not strided) and cout < 128 and cin > 2,
             "big": (not strided) and cin >= 256,
-        }[pred]
+        }
+        if pred not in preds:
+            raise ValueError(f"unknown knockout predicate {pred!r}; "
+                             f"valid: {sorted(preds)}")
+        hit = preds[pred]
         if hit:
             return jax.lax.conv_general_dilated(
                 x.astype(compute_dtype),
@@ -74,29 +78,14 @@ def _apply_conv(x: jax.Array, kernel: jax.Array, strides, padding,
         # phase-folded strided conv: space-to-depth folds the H/W phases
         # into 4C channels, turning the (1,2,2)-strided conv into a dense
         # stride-1 (3,2,2) conv (exact: folded taps outside the 3x3
-        # footprint carry zero weights)
-        x = x.astype(compute_dtype)
-        k = kernel.astype(compute_dtype)
-        b, l, h, w, c = x.shape
-        co = k.shape[-1]
-        ho, wo = -(-h // 2), -(-w // 2)
-        xp = jnp.pad(x, ((0, 0), (0, 0), (1, 2 * (ho + 1) - h - 1),
-                         (1, 2 * (wo + 1) - w - 1), (0, 0)))
-        xh = jnp.concatenate([xp[:, :, 0::2], xp[:, :, 1::2]], axis=-1)
-        xf = jnp.concatenate([xh[:, :, :, 0::2], xh[:, :, :, 1::2]],
-                             axis=-1)
-        kz = jnp.concatenate([k, jnp.zeros((3, 1, 3, c, co), k.dtype)],
-                             axis=1)
-        kz = jnp.concatenate([kz, jnp.zeros((3, 4, 1, c, co), kz.dtype)],
-                             axis=2)
-        parts = []
-        for ph_w in (0, 1):
-            for ph_h in (0, 1):
-                parts.append(kz[:, [0 + ph_h, 2 + ph_h]][:, :, [0 + ph_w,
-                                                                2 + ph_w]])
-        k4 = jnp.concatenate(parts, axis=3)
+        # footprint carry zero weights). Fold shared with the Pallas quad
+        # kernel's strided variant (ops/conv3d_quad.fold_s122).
+        from v2ce_toolbox_tpu.ops.conv3d_quad import fold_s122
+
+        xf, k4 = fold_s122(x.astype(compute_dtype),
+                           kernel.astype(compute_dtype))
         return jax.lax.conv_general_dilated(
-            xf, k4, (1, 1, 1), [(1, 1), (0, 0), (0, 0)],
+            xf, k4, (1, 1, 1), [(0, 0), (0, 0), (0, 0)],
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
             preferred_element_type=jnp.float32)
     if conv_impl == "fold":

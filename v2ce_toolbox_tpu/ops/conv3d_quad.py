@@ -266,6 +266,18 @@ def conv3d_quad_s122(x: jax.Array, k: jax.Array,
     x: (B, L, H, W, C); k: (3, 3, 3, C, Co).
     Returns (B, L, ceil(H/2), ceil(W/2), Co) in out_dtype.
     """
+    xf, k4 = fold_s122(x, k)
+    if ws is None:
+        ws = _pick_ws(k.shape[-1], 2)
+    return _quad_core(xf, k4, out_dtype, ws)
+
+
+def fold_s122(x: jax.Array, k: jax.Array):
+    """Space-to-depth phase fold of a 3x3x3 stride-(1,2,2) 'same' conv:
+    returns (xf, k4) such that a stride-1 all-VALID (3, 2, 2) conv of xf
+    with k4 equals the strided conv (xf already carries the L (1, 1) and
+    folded-H/W halo padding). Shared by the Pallas quad kernel above and
+    the pure-XLA conv_impl='fold' path (models/layers._apply_conv)."""
     b, l, h, w, c = x.shape
     co = k.shape[-1]
     ho, wo = -(-h // 2), -(-w // 2)
@@ -287,7 +299,4 @@ def conv3d_quad_s122(x: jax.Array, k: jax.Array,
             parts.append(kz[:, [0 + ph_h, 2 + ph_h]][:, :, [0 + ph_w,
                                                             2 + ph_w]])
     k4 = jnp.concatenate(parts, axis=3)      # (3, 2, 2, 4c, co)
-
-    if ws is None:
-        ws = _pick_ws(co, 2)
-    return _quad_core(xf, k4, out_dtype, ws)
+    return xf, k4

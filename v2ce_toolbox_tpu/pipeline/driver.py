@@ -39,34 +39,48 @@ import functools
 
 
 # Bit-packed delta event wire format (device -> host). The event stream
-# is nondecreasing in time with a sub-µs mean inter-event gap on dense
-# footage, so the int32 absolute-µs key compresses to a 3-bit delta in a
-# 22-bit record, bit-packed into a dense word stream (ops/bitpack.py):
-#   bits 19..21: delta µs vs previous event (7 = DELTA_MARKER: the
-#                absolute key rides the in-order side list instead)
+# is nondecreasing in time, so the int32 absolute-µs key compresses to a
+# delta_bits-wide delta in a (19 + delta_bits)-bit record, bit-packed
+# into a dense word stream (ops/bitpack.py):
+#   bits 19..18+delta_bits: delta µs vs previous event (all-ones =
+#                marker: the absolute key rides the in-order side list)
 #   bits 10..18: x, bits 1..9: y, bit 0: polarity
-# 2.75 B/event + 4 B per marker, vs 8 B/event for (t, payload) words —
-# the dominant device->host CLI term on tunneled infra (PERF.md). The
-# side list needs no positions: markers are visible in the delta field,
-# so the host pairs them up in order. Its capacity is physical, not
-# statistical: every marker means a >= 7 µs gap, so a chunk spanning
-# span_us holds at most span_us/7 of them (+ first events per frame).
+# The side list needs no positions: markers are visible in the delta
+# field, so the host pairs them up in order. Its capacity is physical,
+# not statistical: every marker means a gap >= the marker value, so a
+# chunk spanning span_us holds at most span_us/marker of them (+ first
+# events per frame).
+#
+# delta_bits adapts to stream density (see _fetch_chunk_events): dense
+# footage (sub-µs mean gap) ships 3-bit deltas at 2.75 B/event +
+# 4 B/marker; sparse streams, where >= 7 µs gaps would make most events
+# markers, ship 12-bit deltas at 3.875 B/event with markers only at
+# >= 4095 µs gaps. Both beat the 8 B/event (t, payload) words the
+# round-1 driver fetched — the dominant device->host CLI term on
+# tunneled infra (PERF.md).
 DELTA_BITS = 3
 DELTA_MARKER = (1 << DELTA_BITS) - 1
 REC_BITS = 19 + DELTA_BITS
+# marker fraction above which the 3-bit format's side list outweighs the
+# 12-bit format's wider records: 22n/8 + 4m > 31n/8  <=>  m > 9n/32
+_SPARSE_SWITCH = 9 / 32
 
 
-def _side_cap(frames: int, cap: int, span_us: int) -> int:
-    """Static side-list capacity from the >= 7 µs-per-marker bound."""
-    n = min(frames * cap, span_us // DELTA_MARKER + frames + 64)
+def _side_cap(frames: int, cap: int, span_us: int,
+              delta_bits: int = DELTA_BITS) -> int:
+    """Static side-list capacity from the >= marker-µs-per-marker bound."""
+    marker = (1 << delta_bits) - 1
+    n = min(frames * cap, span_us // marker + frames + 64)
     return -(-n // 2048) * 2048
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("frames", "skip_lead", "side_cap"))
+                   static_argnames=("frames", "skip_lead", "side_cap",
+                                    "delta_bits"))
 def _flatten_chunk_stream(s: EventStream, offsets_us: jax.Array,
                           frames: int, skip_lead: int = 0,
-                          side_cap: int = 1 << 17):
+                          side_cap: int = 1 << 17,
+                          delta_bits: int = DELTA_BITS):
     """Device-side flatten of a chunk's per-frame event buffers into one
     valid-prefix bit-packed stream (wire format above), roll-compacted so
     the host fetches only ceil(kept/32) word columns instead of frames x
@@ -74,9 +88,10 @@ def _flatten_chunk_stream(s: EventStream, offsets_us: jax.Array,
     streaming path's last window re-emits only its non-overlapping tail,
     like merge_voxels).
 
-    Returns (words (REC_BITS, N/32) uint32, kept, side_key, n_side,
-    side_total); side_total > n_side means side overflow (callers assert
-    equality; the physical _side_cap bound makes that unreachable)."""
+    Returns (words (19 + delta_bits, N/32) uint32, kept, side_key,
+    n_side, side_total); side_total > n_side means side overflow (callers
+    assert equality; the physical _side_cap bound makes that
+    unreachable)."""
     from v2ce_toolbox_tpu.ops.bitpack import pack_bits
     from v2ce_toolbox_tpu.ops.compact_pallas import INVALID, compact_rows
 
@@ -98,14 +113,15 @@ def _flatten_chunk_stream(s: EventStream, offsets_us: jax.Array,
         cap=frames * cap, chunk=8192, algo="place")
     out_k, out_p, kept = out_k[0], out_p[0], kept[0]
 
+    marker = (1 << delta_bits) - 1
     idx = jax.lax.broadcasted_iota(jnp.int32, (1, out_k.shape[0]), 1)[0]
     in_prefix = idx < kept
     prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), out_k[:-1]])
     delta = out_k - prev                  # first event: its absolute key
-    is_exc = in_prefix & ((delta < 0) | (delta >= DELTA_MARKER))
-    delta_enc = jnp.where(is_exc, DELTA_MARKER, jnp.maximum(delta, 0))
+    is_exc = in_prefix & ((delta < 0) | (delta >= marker))
+    delta_enc = jnp.where(is_exc, marker, jnp.maximum(delta, 0))
     recs = jnp.where(in_prefix, (delta_enc << 19) | out_p, 0)
-    words = pack_bits(recs, REC_BITS)
+    words = pack_bits(recs, 19 + delta_bits)
 
     side_in = jnp.where(is_exc, idx, INVALID)
     _, (side_key,), n_side, side_total = compact_rows(
@@ -113,27 +129,70 @@ def _flatten_chunk_stream(s: EventStream, offsets_us: jax.Array,
     return words, kept, side_key[0], n_side[0], side_total[0]
 
 
-def _decode_packed_events(words: np.ndarray, side_key: np.ndarray, n: int):
+def _decode_packed_events(words: np.ndarray, side_key: np.ndarray, n: int,
+                          delta_bits: int = DELTA_BITS):
     """Host-side decode of the bit-packed wire format: returns (t_us
     int64, x, y, p). `words` must already be sliced to ceil(n/32) word
     columns; side_key to n_side."""
     from v2ce_toolbox_tpu.ops.bitpack import unpack_bits
 
-    recs = unpack_bits(words, REC_BITS, n)
-    delta = (recs >> 19) & DELTA_MARKER
+    marker = (1 << delta_bits) - 1
+    recs = unpack_bits(words, 19 + delta_bits, n)
+    delta = (recs >> 19) & marker
     x = ((recs >> 10) & 0x1FF).astype(np.int16)
     y = ((recs >> 1) & 0x1FF).astype(np.int16)
     p = (recs & 1).astype(np.int8)
-    marker = delta == DELTA_MARKER
-    raw = np.cumsum(np.where(marker, 0, delta).astype(np.int64))
+    is_marker = delta == marker
+    raw = np.cumsum(np.where(is_marker, 0, delta).astype(np.int64))
     side = np.asarray(side_key).astype(np.int64)
-    seg = np.cumsum(marker)               # 0 before the first marker
+    seg = np.cumsum(is_marker)            # 0 before the first marker
     n_marker = int(seg[-1]) if n else 0
     assert side.shape[0] == n_marker, (side.shape, n_marker)
     base = np.concatenate(
-        [np.zeros(1, np.int64), side - raw[np.flatnonzero(marker)]])
+        [np.zeros(1, np.int64), side - raw[np.flatnonzero(is_marker)]])
     ts = raw + base[seg]
     return ts, x, y, p
+
+
+def _fetch_chunk_events(s: EventStream, offsets_us: jax.Array, frames: int,
+                        fps: float, skip_lead: int = 0) -> np.ndarray:
+    """Flatten + fetch + decode one chunk's events as a structured array,
+    adapting the wire format to stream density: dispatch the 3-bit-delta
+    flatten first (device cost ~1-2 ms), and if its side list says the
+    stream is sparse (markers > 9/32 of events, where 2.75 B/event +
+    4 B/marker exceeds the 12-bit format's 3.875 B/event), re-dispatch at
+    delta_bits=12 and fetch that instead. The density check rides the
+    `kept`/`n_side` scalars the exact-length fetch needs anyway, so the
+    dense path pays no extra round trip."""
+    from v2ce_toolbox_tpu.events import EVENT_DTYPE
+
+    span = int((frames + 1) * 1e6 / fps) + 2
+    cap = int(s.t_us.shape[1])
+    bits = DELTA_BITS
+    scap = _side_cap(frames, cap, span, bits)
+    words, kept, side_key, n_side, side_total = _flatten_chunk_stream(
+        s, offsets_us, frames, skip_lead=skip_lead, side_cap=scap,
+        delta_bits=bits)
+    n, m = int(kept), int(n_side)
+    assert int(side_total) == m <= scap
+    if m > n * _SPARSE_SWITCH:
+        bits = 12
+        scap = _side_cap(frames, cap, span, bits)
+        words, kept, side_key, n_side, side_total = _flatten_chunk_stream(
+            s, offsets_us, frames, skip_lead=skip_lead, side_cap=scap,
+            delta_bits=bits)
+        n, m = int(kept), int(n_side)
+        assert int(side_total) == m <= scap
+    # exact-length fetch: through the ~0.5 MB/s axon tunnel the transfer
+    # volume dominates wall clock (quantizing the slice length to reuse
+    # compiled shapes fetched 2.4x more bytes and measured slower e2e)
+    ts, x_, y_, p_ = _decode_packed_events(
+        np.asarray(words[:, :-(-n // 32)]), side_key[:m], n,
+        delta_bits=bits)
+    out = np.zeros(n, dtype=EVENT_DTYPE)
+    out["timestamp"] = ts
+    out["x"], out["y"], out["polarity"] = x_, y_, p_
+    return out
 
 logger = logging.getLogger(__name__)
 
@@ -170,6 +229,15 @@ class V2cePipeline:
         batches shard across its chips (embarrassingly parallel)."""
         self.config = config
         self.mesh = mesh
+        if config.model.out_layout != "cl":
+            # the driver's voxel handling (window merge, channel-major
+            # reshape for the sampler, renders) assumes channels-last
+            # model output; 'cm' is a measured probe option
+            # (tools/perf_probe.py window_fused_cm, PERF.md round 3) that
+            # would silently scramble stage 2 here
+            raise ValueError(
+                "V2cePipeline requires ModelConfig.out_layout='cl'; "
+                f"got {config.model.out_layout!r} (probe-only option)")
         self.model = V2ce3d(config=config.model)
         self.variables = load_variables(
             self.model, model_path, height=config.height, width=config.width
@@ -282,7 +350,7 @@ class V2cePipeline:
                 sample_events(
                     v[i * chunk:(i + 1) * chunk],
                     jax.random.fold_in(key, i),
-                    **{**cfg.sampler.sample_kwargs(), "fps": cfg.fps},
+                    **cfg.sampler.sample_kwargs(fps=cfg.fps),
                 )
             )
         recs: List[np.ndarray] = []
@@ -327,31 +395,16 @@ class V2cePipeline:
             s = sample_events(
                 v[i * chunk:(i + 1) * chunk],
                 jax.random.fold_in(key, i),
-                **{**cfg.sampler.sample_kwargs(), "fps": cfg.fps},
+                **cfg.sampler.sample_kwargs(fps=cfg.fps),
             )
             base = i * chunk
             frames = min(chunk, t - base)
             offsets64 = ((np.arange(chunk) + base) / cfg.fps * 1e6
                          ).astype(np.int64)
             if flat_ok:
-                scap = _side_cap(frames, int(s.t_us.shape[1]),
-                                 int((frames + 1) * 1e6 / cfg.fps) + 2)
-                words, kept, side_key, n_side, side_total = (
-                    _flatten_chunk_stream(
-                        s, jnp.asarray(offsets64.astype(np.int32)), frames,
-                        side_cap=scap))
-                n = int(kept)
-                assert int(side_total) == (m := int(n_side)) <= scap
-                # exact-length fetch: through the ~0.5 MB/s axon tunnel
-                # the transfer volume dominates wall clock (quantizing the
-                # slice length to reuse compiled shapes fetched 2.4x more
-                # bytes and measured slower end to end)
-                ts, x_, y_, p_ = _decode_packed_events(
-                    np.asarray(words[:, :-(-n // 32)]), side_key[:m], n)
-                out = np.zeros(n, dtype=EVENT_DTYPE)
-                out["timestamp"] = ts
-                out["x"], out["y"], out["polarity"] = x_, y_, p_
-                parts.append(out)
+                parts.append(_fetch_chunk_events(
+                    s, jnp.asarray(offsets64.astype(np.int32)), frames,
+                    cfg.fps))
             else:
                 parts.append(pack_event_stream(
                     np.asarray(s.t_us[:frames]), np.asarray(s.x[:frames]),
@@ -511,26 +564,15 @@ class V2cePipeline:
             skip = (cfg.seq_len - mode) if (is_last and mode) else 0
             s = sample_events(
                 v, jax.random.fold_in(key, i),
-                **{**cfg.sampler.sample_kwargs(), "fps": cfg.fps},
+                **cfg.sampler.sample_kwargs(fps=cfg.fps),
             )
             offsets = ((np.arange(cfg.seq_len) + int(start)) / cfg.fps
                        * 1e6).astype(np.int32)
-            scap = _side_cap(cfg.seq_len, int(s.t_us.shape[1]),
-                             int((cfg.seq_len + 1) * 1e6 / cfg.fps) + 2)
-            words, kept, side_key, n_side, side_total = (
-                _flatten_chunk_stream(
-                    s, jnp.asarray(offsets), cfg.seq_len, skip_lead=skip,
-                    side_cap=scap))
             if cfg.write_event_frame_video:
                 ef_sums.append(v.sum(axis=2)[skip:])    # (16-skip, 2, H, W)
-            n = int(kept)
-            assert int(side_total) == (m := int(n_side)) <= scap
-            ts, x_, y_, p_ = _decode_packed_events(
-                np.asarray(words[:, :-(-n // 32)]), side_key[:m], n)
-            out = np.zeros(n, dtype=EVENT_DTYPE)
-            out["timestamp"] = ts
-            out["x"], out["y"], out["polarity"] = x_, y_, p_
-            parts.append(out)
+            parts.append(_fetch_chunk_events(
+                s, jnp.asarray(offsets), cfg.seq_len, cfg.fps,
+                skip_lead=skip))
         if vidcap is not None:
             vidcap.close()
 
