@@ -12,6 +12,7 @@
 // Built with: g++ -O3 -shared -fPIC -o libv2ce_events.so event_io.cpp -lpthread
 // Loaded via ctypes (v2ce_toolbox_tpu/io/native.py) with a numpy fallback.
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -92,6 +93,51 @@ int64_t v2ce_first_inversion(const void* buf, int64_t n) {
   for (int64_t i = 1; i < n; ++i)
     if (rec[i].timestamp < rec[i - 1].timestamp) return i;
   return -1;
+}
+
+// Discretized event-volume splat (the host data pipeline's hot loop:
+// numpy's np.add.at in data/voxelize.gen_discretized_event_volume_np runs
+// one scattered pass per element per half; this is the same arithmetic in
+// one compiled pass). Bit-identical to the numpy recipe: t scaled in
+// double with the reference's +-1e-8 floor/ceil epsilons
+// (train/scripts/utils/events_utils.py:118-126), the FLOOR half
+// accumulated for all events before the CEIL half (numpy's two add.at
+// passes), values cast to float32 before accumulation. vol must be a
+// zeroed (2*nb, h, w) float32 buffer; p <= 0 lands in the OFF (second)
+// half, matching the np converter's where(p == 0, -1, p) < 0 handling.
+void v2ce_voxel_splat(const int64_t* t, const int16_t* x, const int16_t* y,
+                      const int8_t* p, int64_t n, int32_t nb, int32_t h,
+                      int32_t w, float* vol) {
+  if (n <= 0) return;
+  int64_t tmin = t[0], tmax = t[0];
+  for (int64_t i = 1; i < n; ++i) {
+    if (t[i] < tmin) tmin = t[i];
+    if (t[i] > tmax) tmax = t[i];
+  }
+  double denom = static_cast<double>(tmax - tmin);
+  if (denom < 1e-12) denom = 1e-12;
+  const double factor = (nb - 1) / denom;
+  const int64_t plane = static_cast<int64_t>(h) * w;
+  for (int pass = 0; pass < 2; ++pass) {
+    for (int64_t i = 0; i < n; ++i) {
+      double ts = (t[i] - tmin) * factor;
+      if (ts < 0) ts = 0;
+      if (ts > nb - 1) ts = nb - 1;
+      const double fl = std::floor(ts);
+      int64_t bin;
+      double dt;
+      if (pass == 0) {                     // floor half
+        bin = static_cast<int64_t>(std::floor(ts + 1e-8));
+        dt = (fl + 1) - ts;                // dt_fl
+      } else {                             // ceil half
+        bin = static_cast<int64_t>(std::ceil(ts - 1e-8));
+        dt = ts - std::floor(ts + 1e-8);   // dt_ce
+      }
+      const int64_t vm = (p[i] <= 0) ? nb : 0;
+      vol[plane * (bin + vm) + static_cast<int64_t>(w) * y[i] + x[i]] +=
+          static_cast<float>(dt);
+    }
+  }
 }
 
 }  // extern "C"

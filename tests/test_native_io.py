@@ -64,3 +64,68 @@ def test_pack_multithreaded_equivalence():
     a = native.pack_event_stream(*args, num_threads=1)
     b = native.pack_event_stream(*args, num_threads=8)
     np.testing.assert_array_equal(a, b)
+
+
+def _np_splat(events, vol_size):
+    """The pure-numpy reference path (np.add.at), bypassing the native
+    dispatch in gen_discretized_event_volume_np."""
+    from v2ce_toolbox_tpu.data.voxelize import _floor_ceil_delta
+
+    volume = np.zeros(vol_size, np.float32)
+    x = events["x"].astype(np.int64)
+    y = events["y"].astype(np.int64)
+    t = events["timestamp"].astype(np.float64)
+    p = np.where(events["polarity"] == 0, -1,
+                 events["polarity"]).astype(np.int64)
+    nb = vol_size[0] // 2
+    t_min, t_max = t.min(), t.max()
+    denom = max(t_max - t_min, 1e-12)
+    t_scaled = np.clip((t - t_min) * ((nb - 1) / denom), 0, nb - 1)
+    (t_fl, dt_fl), (t_ce, dt_ce) = _floor_ceil_delta(t_scaled)
+    vol_mul = np.where(p < 0, nb, 0)
+    flat = volume.reshape(-1)
+    for tt, dt in ((t_fl, dt_fl), (t_ce, dt_ce)):
+        inds = (vol_size[1] * vol_size[2]) * (tt + vol_mul) \
+            + vol_size[2] * y + x
+        np.add.at(flat, inds, dt.astype(np.float32))
+    return volume
+
+
+def _events(n, h, w, seed, span_us=500_000, integer_bins=False):
+    from v2ce_toolbox_tpu.events import EVENT_DTYPE
+
+    rng = np.random.RandomState(seed)
+    ev = np.zeros(n, EVENT_DTYPE)
+    if integer_bins:
+        # timestamps exactly on bin edges: exercises the +-1e-8 epsilons
+        ev["timestamp"] = rng.randint(0, 10, n) * (span_us // 9)
+    else:
+        ev["timestamp"] = np.sort(rng.randint(0, span_us, n))
+    ev["x"] = rng.randint(0, w, n)
+    ev["y"] = rng.randint(0, h, n)
+    ev["polarity"] = rng.randint(0, 2, n)
+    return ev
+
+
+def test_voxel_splat_matches_numpy_bit_exact():
+    from v2ce_toolbox_tpu.data.voxelize import gen_discretized_event_volume_np
+
+    assert native.native_available()
+    for seed, integer_bins in ((0, False), (1, True)):
+        ev = _events(20_000, 64, 80, seed, integer_bins=integer_bins)
+        want = _np_splat(ev, (20, 64, 80))
+        vol = np.zeros((20, 64, 80), np.float32)
+        assert native.voxel_splat(ev, vol)
+        np.testing.assert_array_equal(vol, want)
+        # and the public converter dispatches to the same result
+        np.testing.assert_array_equal(
+            gen_discretized_event_volume_np(ev, (20, 64, 80)), want)
+
+
+def test_voxel_splat_single_timestamp_degenerate():
+    ev = _events(5000, 32, 32, seed=2)
+    ev["timestamp"] = 777                      # t_max == t_min
+    want = _np_splat(ev, (6, 32, 32))
+    vol = np.zeros((6, 32, 32), np.float32)
+    assert native.voxel_splat(ev, vol)
+    np.testing.assert_array_equal(vol, want)

@@ -40,6 +40,14 @@ def gen_discretized_event_volume_np(
     volume = np.zeros(vol_size, np.float32)
     if len(events) == 0:
         return volume
+    if len(events) >= 4096:
+        # the np.add.at scatter below is the host data pipeline's hot
+        # loop; the native splat (native/event_io.cpp v2ce_voxel_splat)
+        # is the same arithmetic, bit-identical, in one compiled pass
+        from v2ce_toolbox_tpu.io.native import voxel_splat
+
+        if voxel_splat(events, volume):
+            return volume
     x = events["x"].astype(np.int64)
     y = events["y"].astype(np.int64)
     t = events["timestamp"].astype(np.float64)

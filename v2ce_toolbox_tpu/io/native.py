@@ -53,6 +53,12 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.v2ce_first_inversion.restype = ctypes.c_int64
         lib.v2ce_first_inversion.argtypes = [ctypes.c_void_p,
                                              ctypes.c_int64]
+        lib.v2ce_voxel_splat.restype = None
+        lib.v2ce_voxel_splat.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
+        ]
         _LIB = lib
     except Exception as e:  # toolchain missing / compile failure
         logger.warning("native event IO unavailable (%s); numpy fallback", e)
@@ -103,6 +109,26 @@ def pack_event_stream(
         out["polarity"][pos:pos + n] = p[f, :n]
         pos += n
     return out
+
+
+def voxel_splat(events: np.ndarray, vol: np.ndarray) -> bool:
+    """Native discretized-volume splat into a zeroed (2*nb, H, W) float32
+    `vol` from structured events; returns False when the library is
+    unavailable (caller falls back to np.add.at). Bit-identical to the
+    numpy recipe in data/voxelize.gen_discretized_event_volume_np."""
+    lib = _load()
+    if lib is None or vol.dtype != np.float32 or not vol.flags.c_contiguous:
+        return False
+    t = np.ascontiguousarray(events["timestamp"], np.int64)
+    x = np.ascontiguousarray(events["x"], np.int16)
+    y = np.ascontiguousarray(events["y"], np.int16)
+    p = np.ascontiguousarray(events["polarity"], np.int8)
+    nb2, h, w = vol.shape
+    lib.v2ce_voxel_splat(
+        t.ctypes.data, x.ctypes.data, y.ctypes.data, p.ctypes.data,
+        len(events), nb2 // 2, h, w,
+        vol.ctypes.data_as(ctypes.c_void_p))
+    return True
 
 
 def first_inversion(stream: np.ndarray) -> int:
