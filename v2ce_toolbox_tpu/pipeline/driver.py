@@ -59,8 +59,6 @@ import functools
 # round-1 driver fetched — the dominant device->host CLI term on
 # tunneled infra (PERF.md).
 DELTA_BITS = 3
-DELTA_MARKER = (1 << DELTA_BITS) - 1
-REC_BITS = 19 + DELTA_BITS
 # marker fraction above which the 3-bit format's side list outweighs the
 # 12-bit format's wider records: 22n/8 + 4m > 31n/8  <=>  m > 9n/32
 _SPARSE_SWITCH = 9 / 32
