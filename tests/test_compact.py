@@ -117,3 +117,52 @@ def test_compact_rows_no_payload_many_shapes():
             assert int(kept[i]) == int(total[i]) == len(valid)
             np.testing.assert_array_equal(np.asarray(out)[i][:len(valid)],
                                           valid)
+
+
+@pytest.mark.parametrize("chunk", [256, 512])
+@pytest.mark.parametrize("density", [0.0, 0.1, 0.6, 1.0])
+def test_append_rows_matches_concat(density, chunk):
+    """append_rows == concatenation of the rows' valid prefixes (the
+    driver's stream-flatten contract: per-frame buffers are prefixes)."""
+    import jax.numpy as jnp
+
+    from v2ce_toolbox_tpu.ops.compact_pallas import INVALID, append_rows
+
+    rng = np.random.RandomState(int(density * 100) + chunk)
+    r, w = 6, 1000                                # w % chunk != 0: pad path
+    counts = (rng.rand(r) * density * w).astype(np.int64)
+    keys = np.full((r, w), INVALID, np.int32)
+    pay = np.zeros((r, w), np.int32)
+    for i in range(r):
+        keys[i, :counts[i]] = rng.randint(0, 1 << 20, counts[i])
+        pay[i, :counts[i]] = rng.randint(0, 1 << 20, counts[i])
+
+    out_k, (out_p,), kept, total = append_rows(
+        jnp.asarray(keys), [jnp.asarray(pay)], cap=r * w, chunk=chunk)
+    out_k, out_p = np.asarray(out_k)[0], np.asarray(out_p)[0]
+    kept, total = int(kept[0]), int(total[0])
+
+    ref_k = np.concatenate([keys[i, :counts[i]] for i in range(r)])
+    ref_p = np.concatenate([pay[i, :counts[i]] for i in range(r)])
+    assert total == counts.sum() == kept
+    np.testing.assert_array_equal(out_k[:kept], ref_k)
+    np.testing.assert_array_equal(out_p[:kept], ref_p)
+    assert (out_k[kept:] == INVALID).all()
+
+
+def test_append_rows_capacity_drop_exact():
+    """Overflow beyond cap drops whole chunks, counted via total - kept."""
+    import jax.numpy as jnp
+
+    from v2ce_toolbox_tpu.ops.compact_pallas import INVALID, append_rows
+
+    rng = np.random.RandomState(3)
+    r, w, chunk, cap = 4, 512, 256, 512           # cap = 2 chunks < 4*512
+    keys = rng.randint(0, 1 << 20, (r, w)).astype(np.int32)  # full rows
+
+    out_k, _, kept, total = append_rows(
+        jnp.asarray(keys), cap=cap, chunk=chunk)
+    assert int(total[0]) == r * w
+    assert int(kept[0]) == cap
+    np.testing.assert_array_equal(
+        np.asarray(out_k)[0][:cap], keys.reshape(-1)[:cap])

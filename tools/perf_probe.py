@@ -468,6 +468,94 @@ def probe_sampler_phases():
 PROBES["sampler_phases"] = probe_sampler_phases
 
 
+def probe_flatten():
+    """Decompose the driver's device stream-flatten (the ~10 ms gap
+    between the two-jit window probe and bench.py's e2e number): the
+    main frames x capacity pass (place compaction vs the butterfly-free
+    append kernel), the side-list compaction (window-2048 vs place-8192),
+    and the full _flatten_chunk_stream."""
+    from v2ce_toolbox_tpu.events import EventStream
+    from v2ce_toolbox_tpu.ops.compact_pallas import (
+        INVALID, append_rows, compact_rows)
+    from v2ce_toolbox_tpu.pipeline.driver import _flatten_chunk_stream
+
+    rng = np.random.RandomState(0)
+    frames, cap = 16, 1 << 19
+    per_frame = 74_000                      # synthetic-dense README load
+    counts = np.full(frames, per_frame, np.int32)
+    t = np.sort(rng.randint(0, 33_333, (frames, cap)).astype(np.int32), 1)
+    slot = np.arange(cap)[None]
+    keys_np = np.where(slot < counts[:, None], t, INVALID).astype(np.int32)
+    pay_np = np.where(slot < counts[:, None],
+                      rng.randint(0, 346, (frames, cap)), 0
+                      ).astype(np.int32)
+    keys, pay = jnp.asarray(keys_np), jnp.asarray(pay_np)
+
+    def perturb(args, acc):
+        return tuple(a + (acc * 1e-12).astype(jnp.int32)
+                     if a.dtype == jnp.int32 else a for a in args)
+
+    def main_place(args):
+        kk, px = args
+        o, (op,), kc, _ = compact_rows(
+            kk.reshape(1, frames * cap), [px.reshape(1, frames * cap)],
+            cap=frames * cap, chunk=8192, algo="place")
+        return o[:, ::255].astype(jnp.int64).sum(), kc.sum()
+
+    def main_append(args):
+        kk, px = args
+        o, (op,), kc, _ = append_rows(kk, [px], cap=frames * cap,
+                                      chunk=8192)
+        return o[:, ::255].astype(jnp.int64).sum(), kc.sum()
+
+    for name, fn in [("place 1x8.4M", main_place),
+                     ("append 16x512k", main_append)]:
+        dt = timed_loop(fn, (keys, pay), n_iters=10, perturb=perturb)
+        print(f"flatten main pass [{name}]: {dt*1e3:.2f} ms", flush=True)
+
+    # side pass at out width: ~1% markers (dense stream, 7 µs gaps rare)
+    width = frames * cap
+    out_k = jnp.asarray(np.sort(rng.randint(0, 1 << 29, width)
+                                ).astype(np.int32))
+    is_exc = jnp.asarray(rng.rand(width) < 0.01)
+    idx = jnp.arange(width, dtype=jnp.int32)
+    side_in = jnp.where(is_exc, idx, INVALID)
+
+    for name, kw in [("window-2048", dict(chunk=2048)),
+                     ("place-8192", dict(chunk=8192, algo="place"))]:
+        def side(args, kw=kw):
+            si, ok = args
+            _, (sk,), ns, st = compact_rows(si[None], [ok[None]],
+                                            cap=1 << 17, **kw)
+            return sk[:, ::255].astype(jnp.int64).sum(), ns.sum()
+
+        dt = timed_loop(side, (side_in, out_k), n_iters=10, perturb=perturb)
+        print(f"flatten side pass [{name}]: {dt*1e3:.2f} ms", flush=True)
+
+    # full flatten (current code path)
+    zeros8 = jnp.zeros((frames, cap), jnp.int8)
+    stream = EventStream(
+        t_us=keys, x=pay.astype(jnp.int16), y=zeros8.astype(jnp.int16),
+        p=zeros8, count=jnp.asarray(counts),
+        dropped=jnp.zeros(frames, jnp.int32))
+    offs = jnp.asarray((np.arange(frames) / 30 * 1e6).astype(np.int32))
+
+    def full(args):
+        kk, = args
+        s = stream._replace(t_us=kk)
+        words, kept, side_key, n_side, side_total = _flatten_chunk_stream(
+            s, offs, frames)
+        return ((words % 97).sum().astype(jnp.int32) + kept
+                + (side_key % 83).sum() + n_side + side_total)
+
+    dt = timed_loop(full, (keys,), n_iters=10, perturb=perturb)
+    print(f"flatten full (_flatten_chunk_stream): {dt*1e3:.2f} ms",
+          flush=True)
+
+
+PROBES["flatten"] = probe_flatten
+
+
 
 
 def probe_window(barrier=False):

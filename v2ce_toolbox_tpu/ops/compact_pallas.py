@@ -334,6 +334,129 @@ def _compact_kernel2(keys_ref, *rest, chunk, n_chunks, cap_chunks,
         copy.wait()
 
 
+def _append_kernel(keys_ref, *rest, chunk, n_rows, n_chunks, cap_chunks,
+                   n_payloads):
+    """Append-based collapse of R prefix-packed rows into ONE stream:
+    `_compact_kernel2` with the per-chunk butterfly front-pack removed
+    (each incoming chunk's valids are REQUIRED to already sit at the
+    chunk front — true for any row whose valids form a prefix, e.g. the
+    sampler's per-frame event buffers) and with the carry state living
+    across row boundaries, so the grid walks (row, chunk) blocks and the
+    output is a single row. This keeps the hot path at pure
+    roll-place + DMA cost, ~log2(chunk) butterfly stages cheaper per
+    chunk than 'place', and never reshapes rows together (a chunk never
+    straddles two rows, so the prefix precondition survives any row
+    width)."""
+    payload_refs = rest[:n_payloads]
+    out_keys = rest[n_payloads]
+    out_payloads = rest[n_payloads + 1:n_payloads + 1 + n_payloads]
+    acc = rest[n_payloads + 1 + n_payloads]      # VMEM (1+P, 2*sc+1, 128)
+    send = rest[n_payloads + 2 + n_payloads]     # VMEM (1+P, sc, 128)
+    state = rest[-2]            # SMEM: [pend, cidx, total, kept]
+    sem = rest[-1]
+
+    r = pl.program_id(0)
+    ci = pl.program_id(1)
+    sc = chunk // _LANES
+
+    @pl.when((r == 0) & (ci == 0))
+    def _():
+        state[0] = 0
+        state[1] = 0
+        state[2] = 0
+        state[3] = 0
+        acc[0] = jnp.full_like(acc[0], INVALID)
+        for i in range(n_payloads):
+            acc[1 + i] = jnp.zeros_like(acc[1 + i])
+
+    key = keys_ref[0, 0]
+    pays = [payload_refs[i][0, 0] for i in range(n_payloads)]
+    cnt = jnp.sum((key != INVALID).astype(jnp.int32))
+
+    pend = state[0]
+    state[2] = state[2] + cnt
+
+    # place the (already packed) chunk into acc at flat offset pend
+    rr = pend // _LANES
+    ll = pend % _LANES
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (sc + 1, _LANES), 1)
+    gflat = (rr + jax.lax.broadcasted_iota(
+        jnp.int32, (sc + 1, _LANES), 0)) * _LANES + lane2
+    window = (gflat >= pend) & (gflat < pend + cnt)
+
+    def place(tile, fill, slot):
+        padded = jnp.concatenate(
+            [tile, jnp.full((1, _LANES), fill, tile.dtype)], axis=0)
+        al = pltpu.roll(padded, ll, axis=1)
+        bl = pltpu.roll(_roll(padded, 1, axis=0), ll, axis=1)
+        shifted = jnp.where(lane2 >= ll, al, bl)
+        region = acc[slot, pl.ds(rr, sc + 1)]
+        acc[slot, pl.ds(rr, sc + 1)] = jnp.where(window, shifted, region)
+
+    @pl.when(cnt > 0)
+    def _():
+        place(key, INVALID, 0)
+        for i in range(n_payloads):
+            place(pays[i], 0, 1 + i)
+
+    new_pend = pend + cnt
+    cidx = state[1]
+
+    @pl.when((new_pend >= chunk) & (cidx < cap_chunks))
+    def _():
+        send[0] = acc[0, :sc]
+        for i in range(n_payloads):
+            send[1 + i] = acc[1 + i, :sc]
+        copy = pltpu.make_async_copy(send.at[0], out_keys.at[0, cidx], sem)
+        copy.start()
+        copy.wait()
+        for i in range(n_payloads):
+            copy = pltpu.make_async_copy(
+                send.at[1 + i], out_payloads[i].at[0, cidx], sem)
+            copy.start()
+            copy.wait()
+        state[1] = cidx + 1
+        state[3] = state[3] + chunk
+
+    @pl.when(new_pend >= chunk)
+    def _():
+        fills = [jnp.full((sc, _LANES), INVALID, jnp.int32)] + [
+            jnp.zeros((sc, _LANES), jnp.int32)] * n_payloads
+        for slot in range(1 + n_payloads):
+            acc[slot] = jnp.concatenate(
+                [acc[slot, sc:], fills[slot]], axis=0)
+
+    state[0] = jnp.where(new_pend >= chunk, new_pend - chunk, new_pend)
+
+    @pl.when((r == n_rows - 1) & (ci == n_chunks - 1))
+    def _():
+        cidx2 = state[1]
+
+        @pl.when((state[0] > 0) & (cidx2 < cap_chunks))
+        def _():
+            send[0] = acc[0, :sc]
+            copy = pltpu.make_async_copy(send.at[0],
+                                         out_keys.at[0, cidx2], sem)
+            copy.start()
+            copy.wait()
+            for i in range(n_payloads):
+                send[1 + i] = acc[1 + i, :sc]
+                copy = pltpu.make_async_copy(
+                    send.at[1 + i], out_payloads[i].at[0, cidx2], sem)
+                copy.start()
+                copy.wait()
+            state[3] = state[3] + state[0]
+
+        lane0 = jax.lax.broadcasted_iota(jnp.int32, (sc, _LANES), 1)
+        counts_tile = jnp.where(
+            lane0 == 0, state[3], jnp.where(lane0 == 1, state[2], 0))
+        send[0] = counts_tile
+        copy = pltpu.make_async_copy(send.at[0],
+                                     out_keys.at[0, cap_chunks], sem)
+        copy.start()
+        copy.wait()
+
+
 def _merge_kernel(keys_ref, *rest, nb, sr, s_out, cap, n_payloads):
     """Append each of the nb sorted rows' valid prefixes into one
     (cap,)-stream per output row, entirely in VMEM."""
@@ -469,6 +592,90 @@ def merge_sorted_rows(keys: jax.Array, payloads: Sequence[jax.Array] = (),
     out_keys = jnp.where(mask, outs[0].reshape(f, cap), INVALID)
     out_pays = tuple(jnp.where(mask, o.reshape(f, cap), 0)
                      for o in outs[1:])
+    return out_keys, out_pays, kept, total
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "chunk"))
+def append_rows(keys: jax.Array, payloads: Sequence[jax.Array] = (),
+                *, cap: int, chunk: int = 8192
+                ) -> Tuple[jax.Array, Tuple[jax.Array, ...],
+                           jax.Array, jax.Array]:
+    """Collapse R prefix-packed rows into ONE front-packed stream.
+
+    PRECONDITION: within every row, valid (key != INT32_MAX) elements
+    form a prefix — e.g. fixed-capacity per-frame event buffers. Rows
+    whose valids are scattered need `compact_rows` (full front-pack);
+    this kernel skips the per-chunk butterfly entirely and runs at
+    roll-place + DMA cost (the driver's stream-flatten hot path).
+
+    Args:
+      keys: (R, W) int32, INT32_MAX marks empty; each row prefix-packed.
+      payloads: same-shape int32 arrays routed with the keys.
+      cap: output capacity (rounded up to a chunk multiple).
+    Returns:
+      (out_keys (1, cap'), out_payloads, kept (1,), total (1,)):
+      kept == min(total, cap'); overflow beyond cap is dropped in whole
+      chunks, counted exactly via total - kept.
+    """
+    r, n = keys.shape
+    payloads = tuple(payloads)
+    assert chunk % _LANES == 0, chunk
+    if n % chunk:
+        pad = chunk - n % chunk
+        # per-row tail padding preserves each row's prefix structure
+        keys = jnp.pad(keys, ((0, 0), (0, pad)), constant_values=INVALID)
+        payloads = tuple(jnp.pad(p, ((0, 0), (0, pad))) for p in payloads)
+        n += pad
+    n_chunks = n // chunk
+    n_pay = len(payloads)
+    cap_chunks = -(-cap // chunk)
+    cap_pad = cap_chunks * chunk
+    sc = chunk // _LANES
+
+    def shape4(a):
+        return a.reshape(r, n_chunks, sc, _LANES)
+
+    interpret = jax.default_backend() != "tpu"
+    in_specs = [pl.BlockSpec((1, 1, sc, _LANES),
+                             lambda ri, ci: (ri, ci, 0, 0),
+                             memory_space=pltpu.VMEM)
+                for _ in range(1 + n_pay)]
+    out_shapes = (
+        [jax.ShapeDtypeStruct((1, cap_chunks + 1, sc, _LANES), jnp.int32)]
+        + [jax.ShapeDtypeStruct((1, cap_chunks, sc, _LANES), jnp.int32)
+           for _ in range(n_pay)])
+    out_specs = [pl.BlockSpec(memory_space=pltpu.ANY)
+                 for _ in range(1 + n_pay)]
+
+    outs = pl.pallas_call(
+        functools.partial(_append_kernel, chunk=chunk, n_rows=r,
+                          n_chunks=n_chunks, cap_chunks=cap_chunks,
+                          n_payloads=n_pay),
+        grid=(r, n_chunks),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((1 + n_pay, 2 * sc + 1, _LANES), jnp.int32),  # acc
+            pltpu.VMEM((1 + n_pay, sc, _LANES), jnp.int32),          # send
+            pltpu.SMEM((4,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(shape4(keys), *[shape4(p) for p in payloads])
+
+    keys_and_counts = outs[0]
+    kept = keys_and_counts[:1, cap_chunks, 0, 0]
+    total = keys_and_counts[:1, cap_chunks, 0, 1]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, cap_pad), 1)
+    mask = idx < kept[:, None]
+    out_keys = jnp.where(
+        mask, keys_and_counts[:1, :cap_chunks].reshape(1, cap_pad), INVALID)
+    out_pays = tuple(jnp.where(mask, o.reshape(1, cap_pad), 0)
+                     for o in outs[1:1 + n_pay])
     return out_keys, out_pays, kept, total
 
 

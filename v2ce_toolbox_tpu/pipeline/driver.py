@@ -91,7 +91,8 @@ def _flatten_chunk_stream(s: EventStream, offsets_us: jax.Array,
     assert equality; the physical _side_cap bound makes that
     unreachable)."""
     from v2ce_toolbox_tpu.ops.bitpack import pack_bits
-    from v2ce_toolbox_tpu.ops.compact_pallas import INVALID, compact_rows
+    from v2ce_toolbox_tpu.ops.compact_pallas import (
+        INVALID, append_rows, compact_rows)
 
     t_us = s.t_us[:frames]
     cap = t_us.shape[1]
@@ -106,9 +107,12 @@ def _flatten_chunk_stream(s: EventStream, offsets_us: jax.Array,
         (s.x[:frames].astype(jnp.int32) << 10)
         | (s.y[:frames].astype(jnp.int32) << 1)
         | s.p[:frames].astype(jnp.int32), 0)
-    out_k, (out_p,), kept, _ = compact_rows(
-        keys.reshape(1, frames * cap), [payload.reshape(1, frames * cap)],
-        cap=frames * cap, chunk=8192, algo="place")
+    # Each frame row is a valid PREFIX (slot < count), so the flatten is
+    # an append, not a compaction: the butterfly-free kernel runs at
+    # roll-place + DMA cost over the frames x capacity buffer.
+    out_k, (out_p,), kept, _ = append_rows(
+        keys, [payload], cap=frames * cap,
+        chunk=min(8192, -(-cap // 128) * 128))
     out_k, out_p, kept = out_k[0], out_p[0], kept[0]
 
     marker = (1 << delta_bits) - 1
@@ -123,7 +127,8 @@ def _flatten_chunk_stream(s: EventStream, offsets_us: jax.Array,
 
     side_in = jnp.where(is_exc, idx, INVALID)
     _, (side_key,), n_side, side_total = compact_rows(
-        side_in[None], [out_k[None]], cap=side_cap, chunk=2048)
+        side_in[None], [out_k[None]], cap=side_cap, chunk=8192,
+        algo="place")
     return words, kept, side_key[0], n_side[0], side_total[0]
 
 
