@@ -468,6 +468,60 @@ def probe_sampler_phases():
 PROBES["sampler_phases"] = probe_sampler_phases
 
 
+def probe_gen():
+    """A/B the sampler generation phase: the unfused XLA chain
+    (relocate + slope + pack, materializing counts/tendency/k grids)
+    vs the fused Pallas kernel (ops/gen_pallas.gen_pack)."""
+    from v2ce_toolbox_tpu.ops.compact_pallas import INVALID
+    from v2ce_toolbox_tpu.ops.gen_pallas import gen_pack
+    from v2ce_toolbox_tpu.ops.ldati import relocate_counts, slope_params
+
+    rng = np.random.RandomState(0)
+    f, p, c, h, w = 16, 2, 10, 260, 346
+    cb, seg = c - 1, p * h * w
+    vox_bits = int(np.ceil(np.log2(seg)))
+    mepv = 16
+    v = jnp.asarray((rng.rand(f, p, c, h, w) < 0.1).astype(np.float32)
+                    * rng.rand(f, p, c, h, w).astype(np.float32) * 4)
+
+    def xla_gen(args):
+        vv, = args
+        y = jnp.swapaxes(jnp.flip(vv, 1), 1, 2).reshape(f, c, p * h, w)
+        counts, tendency = relocate_counts(y)
+        k, b = slope_params(counts.astype(jnp.float32), 30)
+        is_chain = counts == 1
+        emit = jnp.maximum(
+            jnp.where(is_chain, 1, jnp.minimum(counts, mepv)), 0)
+        ts_us = ((tendency / 30.0 / float(cb)) * 1e6).astype(jnp.int32)
+        rel = jnp.where(is_chain, jnp.clip(ts_us, 0, 1 << 12), 0)
+        vox = lax.broadcasted_iota(jnp.int32, counts.shape, 0) * 0 + 1
+        keys = jnp.where(emit > 0, (rel << vox_bits) | vox, INVALID)
+        extra = jnp.minimum(jnp.minimum(
+            jnp.maximum(counts - 1, 0), mepv - 1), 255)
+        kx = (lax.bitcast_convert_type(k, jnp.int32) & ~jnp.int32(0xFF)
+              ) | extra
+        return (keys[:, ::7].astype(jnp.int64).sum()
+                + kx[:, ::7].astype(jnp.int64).sum(),
+                emit.sum(dtype=jnp.int32))
+
+    def fused(args):
+        vv, = args
+        keys, kx, emit, drop = gen_pack(
+            vv, fps=30, t0=0.0, strategy="slope", mepv=mepv,
+            vox_bits=vox_bits)
+        return (keys[:, ::7].astype(jnp.int64).sum()
+                + kx[:, ::7].astype(jnp.int64).sum(),
+                emit.sum() + drop.sum())
+
+    for name, fn in [("xla relocate+slope+pack", xla_gen),
+                     ("fused gen_pack kernel", fused)]:
+        dt = timed_loop(fn, (v,), n_iters=10)
+        print(f"gen [{name}]: {dt*1e3:.2f} ms", flush=True)
+
+
+PROBES["gen"] = probe_gen
+
+
 def probe_flatten():
     """Decompose the driver's device stream-flatten (the ~10 ms gap
     between the two-jit window probe and bench.py's e2e number): the

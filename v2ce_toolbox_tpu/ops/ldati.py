@@ -620,6 +620,7 @@ def _sample_events_v3(
     capacity: int,
     sort_cap: Optional[int] = None,
     pre_ordered: bool = False,
+    packed=None,
 ) -> EventStream:
     """Sort-light sampler core. The reference's per-channel gather/argsort
     loops (LDATI.py:248-310) and the v2 flat kv sort (an honest 215 ms per
@@ -675,14 +676,8 @@ def _sample_events_v3(
             return a.reshape(f, cb, seg)
         return frame_order_voxels(a, bb, p, cb, h, w).reshape(f, cb, seg)
 
-    is_chain = counts == 1
-    if strategy == "none":
-        emit = is_chain.astype(jnp.int32)
-    else:
-        emit = jnp.where(is_chain, 1, jnp.minimum(counts, mepv))
-        emit = jnp.maximum(emit, 0)
-
     use_multi = strategy != "none" and mepv > 1
+
     # defer non-chain slot-0 draws to AFTER the chain compaction: the
     # drawn timestamp only matters for the post-compaction sort, and the
     # compaction neither orders by key value nor drops by it (whole
@@ -693,38 +688,58 @@ def _sample_events_v3(
     # mepv == 1 corner keeps the pre-compaction draw.
     defer_draw = use_multi
 
-    # slot-0 timestamps, absolute int µs (same float math as v2/reference)
-    bin_start_s = bin_start_us_i.astype(jnp.float32) * 1e-6
-    if strategy == "none":
-        ts0 = chain_ts_us
-    elif defer_draw:
-        ts0 = chain_ts_us               # non-chain slots drawn later
+    if packed is not None:
+        # fused generation (ops/gen_pallas.gen_pack): keys/payloads and
+        # the per-frame emit/over-cap totals were produced in ONE Pallas
+        # pass over the voxel grid — bit-identical to the block below
+        # (tests/test_gen_pallas.py asserts stream equality)
+        assert strategy == "none" or defer_draw, (
+            "packed generation requires the deferred-draw path")
+        keys0, payloads, total_emit_pre, cap_dropped_pre = packed
     else:
-        u0 = jax.random.uniform(jax.random.fold_in(key, 0), counts.shape)
-        t_add = _inverse_cdf_ts(u0, k, b, voxel_step)
-        ts0 = jnp.where(
-            is_chain, chain_ts_us,
-            ((t_add + bin_start_s[None, :, None, None]) * 1e6
-             ).astype(jnp.int32))
-    rel0 = jnp.clip(ts0 - bin_start_us_i[None, :, None, None], 0, ts_cap)
-    if defer_draw:
-        rel0 = jnp.where(is_chain, rel0, 0)   # placeholder, drawn below
+        is_chain = counts == 1
+        if strategy == "none":
+            emit = is_chain.astype(jnp.int32)
+        else:
+            emit = jnp.where(is_chain, 1, jnp.minimum(counts, mepv))
+            emit = jnp.maximum(emit, 0)
 
-    # bin-major packed keys; vox id = within-bin flat id (P-flipped,
-    # matching the reference's neg-then-pos tie order, LDATI.py:290-296)
-    rel0_f = frame_order(rel0)
-    emit_f = frame_order(emit)
-    vox_iota = lax.broadcasted_iota(jnp.int32, (f, cb, seg), 2)
-    packed0 = (rel0_f << vox_bits) | vox_iota
-    keys0 = jnp.where(emit_f > 0, packed0, _INV).reshape(f * cb, seg)
+        # slot-0 timestamps, absolute int µs (same float math as the v2
+        # path and the reference)
+        bin_start_s = bin_start_us_i.astype(jnp.float32) * 1e-6
+        if strategy == "none":
+            ts0 = chain_ts_us
+        elif defer_draw:
+            ts0 = chain_ts_us           # non-chain slots drawn later
+        else:
+            u0 = jax.random.uniform(jax.random.fold_in(key, 0),
+                                    counts.shape)
+            t_add = _inverse_cdf_ts(u0, k, b, voxel_step)
+            ts0 = jnp.where(
+                is_chain, chain_ts_us,
+                ((t_add + bin_start_s[None, :, None, None]) * 1e6
+                 ).astype(jnp.int32))
+        rel0 = jnp.clip(ts0 - bin_start_us_i[None, :, None, None], 0,
+                        ts_cap)
+        if defer_draw:
+            rel0 = jnp.where(is_chain, rel0, 0)  # placeholder, drawn below
 
-    payloads = []
-    if use_multi:
-        extra = jnp.minimum(jnp.maximum(counts - 1, 0), mepv - 1)
-        extra = jnp.minimum(extra, 255)
-        kx = lax.bitcast_convert_type(k.astype(jnp.float32), jnp.int32)
-        kx = (kx & ~jnp.int32(0xFF)) | extra
-        payloads = [frame_order(kx).reshape(f * cb, seg)]
+        # bin-major packed keys; vox id = within-bin flat id (P-flipped,
+        # matching the reference's neg-then-pos tie order,
+        # LDATI.py:290-296)
+        rel0_f = frame_order(rel0)
+        emit_f = frame_order(emit)
+        vox_iota = lax.broadcasted_iota(jnp.int32, (f, cb, seg), 2)
+        packed0 = (rel0_f << vox_bits) | vox_iota
+        keys0 = jnp.where(emit_f > 0, packed0, _INV).reshape(f * cb, seg)
+
+        payloads = []
+        if use_multi:
+            extra = jnp.minimum(jnp.maximum(counts - 1, 0), mepv - 1)
+            extra = jnp.minimum(extra, 255)
+            kx = lax.bitcast_convert_type(k.astype(jnp.float32), jnp.int32)
+            kx = (kx & ~jnp.int32(0xFF)) | extra
+            payloads = [frame_order(kx).reshape(f * cb, seg)]
 
     chunk = 16384   # measured (round 3, compact_chunk probe): 2.24 Gelem/s
                     # at 16384 vs 2.13 at 8192 and 1.93 at 32768; the
@@ -845,11 +860,15 @@ def _sample_events_v3(
 
     # per-frame emit totals are bounded by cb*seg*mepv <= ~26M per frame,
     # far inside int32 — sum in int32 (int64 is unavailable without x64)
-    total_emit = emit_f.sum(axis=(1, 2), dtype=jnp.int32)
-    cap_dropped = jnp.where(counts > mepv, counts - mepv, 0)
-    if strategy == "none":
-        cap_dropped = jnp.zeros_like(cap_dropped)
-    cap_dropped_f = frame_order(cap_dropped).sum(axis=(1, 2))
+    if packed is not None:
+        total_emit = total_emit_pre
+        cap_dropped_f = cap_dropped_pre
+    else:
+        total_emit = emit_f.sum(axis=(1, 2), dtype=jnp.int32)
+        cap_dropped = jnp.where(counts > mepv, counts - mepv, 0)
+        if strategy == "none":
+            cap_dropped = jnp.zeros_like(cap_dropped)
+        cap_dropped_f = frame_order(cap_dropped).sum(axis=(1, 2))
     dropped = total_emit - kept + cap_dropped_f
     return decode_event_stream(t_us, out_vox, kept, dropped, p, h, w)
 
@@ -861,10 +880,10 @@ def _sample_events_v3(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "fps", "pooling_type", "pooling_kernel_size",
+        "t0", "fps", "pooling_type", "pooling_kernel_size",
         "additional_events_strategy", "bidirectional",
         "max_events_per_voxel", "max_multi_voxels", "capacity",
-        "use_v3", "cap_bin", "multi_cap", "sort_cap",
+        "use_v3", "cap_bin", "multi_cap", "sort_cap", "use_gen_kernel",
     ),
 )
 def sample_events(
@@ -884,6 +903,7 @@ def sample_events(
     cap_bin: int = 1 << 14,
     multi_cap: int = 4096,
     sort_cap: Optional[int] = 1 << 14,
+    use_gen_kernel: bool = True,
 ) -> EventStream:
     """Sample a timestamped event stream from predicted voxels — the
     jit-compiled core of the LDATI sampler.
@@ -918,6 +938,41 @@ def sample_events(
     # the trailing dims, so the math is bit-identical; spatial pooling
     # would cross the P*H fold, so it keeps the per-polarity layout.
     pre_ordered = take_v3 and pooling_type == "none"
+
+    if pre_ordered and use_gen_kernel and not bidirectional:
+        from v2ce_toolbox_tpu.ops.gen_pallas import gen_pack
+        from v2ce_toolbox_tpu.ops.gen_pallas import supported as _gen_ok
+
+        if _gen_ok(h, w, additional_events_strategy, max_events_per_voxel):
+            # fused generation: relocate + slope + candidate packing in
+            # ONE Pallas pass over the RAW (B, P, C, H, W) grid — the
+            # polarity flip / bin-major reorder happen as index
+            # arithmetic instead of a 115 MB transpose, and the
+            # counts/tendency/k intermediates never leave VMEM.
+            # Bit-identical to the relocate_counts/slope_params path
+            # below; measured on chip 7.1 -> 4.4 ms per 16-frame window
+            # (tools/perf_probe.py gen), sampler total 19.7 -> 15.4 ms.
+            seg = p * h * w
+            keys_g, kx_g, emit_tot, drop_tot = gen_pack(
+                voxels, fps=fps, t0=t0,
+                strategy=additional_events_strategy,
+                mepv=max_events_per_voxel, vox_bits=seg_bits)
+            bin_starts = (jnp.arange(cb, dtype=jnp.float32) * voxel_step
+                          + t0)
+            payloads = ([kx_g.reshape(bb * cb, seg)]
+                        if kx_g is not None else [])
+            return _sample_events_v3(
+                None, None, None, None,
+                (bin_starts * 1e6).astype(jnp.int32), key,
+                bb=bb, p=p, cb=cb, h=h, w=w,
+                strategy=additional_events_strategy,
+                voxel_step=voxel_step, t0=t0,
+                max_events_per_voxel=max_events_per_voxel,
+                cap_bin=cap_bin, multi_cap=multi_cap, capacity=capacity,
+                sort_cap=sort_cap, pre_ordered=True,
+                packed=(keys_g.reshape(bb * cb, seg), payloads,
+                        emit_tot, drop_tot))
+
     if pre_ordered:
         y = jnp.swapaxes(jnp.flip(voxels, 1), 1, 2)
         y = y.reshape(bb, c, p * h, w).astype(jnp.float32)
