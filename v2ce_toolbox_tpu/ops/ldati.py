@@ -847,8 +847,17 @@ def _sample_events_v3(
     # is the concatenation of the rows' valid prefixes — an O(W) append
     # (merge_sorted_rows) instead of an O(W log W) re-compaction of the
     # (f, cb * W) grid (measured ~3.5 ms -> ~0.5 ms, sampler_phases)
+    #
+    # The merge can never emit more than cb * W valid events per frame
+    # (W = post-sort row width), so clamp the requested capacity to that
+    # bound (rounded up to the merge kernel's 128-lane granularity).
+    # Exact: the clipped slots are always-INVALID tail padding — and the
+    # driver's downstream stream flatten sweeps 3.6x fewer slots at the
+    # defaults (524,288 -> 147,456 slots/frame).
+    cap_bound = cb * rel_only.shape[1]
+    cap_eff = min(capacity, -(-cap_bound // 128) * 128)
     out_rel, (out_vox,), kept, _ = merge_sorted_rows(
-        rel_only, [gvox], nb=cb, cap=capacity)
+        rel_only, [gvox], nb=cb, cap=cap_eff)
 
     # decode: abs µs = rel + bin_start(bin), with the bin start recomputed
     # arithmetically (identical float expression to bin_starts above — a
