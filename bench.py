@@ -2,42 +2,97 @@
 """End-to-end throughput benchmark: video frames -> DVS events, per chip.
 
 Measures the steady-state device pipeline (stage-1 3D-UNet forward on
-16-frame windows + on-device LDATI event sampling) on synthetic 260x346
-input — the reference's README workload geometry (reference: readme.md:23,
-scripts/LDATI.py:329). Host video decode is excluded (it overlaps device
-compute in the real pipeline and is not the TPU's bottleneck).
+16-frame windows + on-device LDATI event sampling + the driver's stream
+flatten) on synthetic 260x346 input — the reference's README workload
+geometry (reference: readme.md:23, scripts/LDATI.py:329). Host video
+decode is excluded (it overlaps device compute in the real pipeline and
+is not the TPU's bottleneck).
 
-Prints ONE JSON line:
+Prints the headline JSON line FIRST:
   {"metric": "e2e_frames_per_sec_per_chip", "value": N, "unit": "frames/s",
-   "vs_baseline": N / 300.0}
-vs_baseline is against the BASELINE.md north star of >= 10x realtime at
-30 FPS (300 frames/s) per chip; the reference repo publishes no numbers of
-its own (BASELINE.md).
+   "vs_baseline": N / 300.0, "stage1_*": ...}
+then (best-effort, within the time budget) a second line repeating the
+headline fields plus "e2e_cli_frames_per_sec" from the full 321-frame CLI
+workload. Round 3 lost its entire bench artifact because the CLI
+measurement ran first and starved the headline of budget (VERDICT.md
+weak #1) — the cheap, always-available number now prints before the
+expensive one, and every subprocess is individually time-bounded.
 
-Timing notes: through the axon tunnel `block_until_ready` does not reliably
-block, so we queue N iterations that are data-dependent chained and fetch
-one scalar at the end; RTT is measured separately and subtracted.
+vs_baseline is against the BASELINE.md north star of >= 10x realtime at
+30 FPS (300 frames/s) per chip; the reference repo publishes no numbers
+of its own (BASELINE.md).
+
+Process structure: the axon TPU tunnel admits ONE process at a time, so
+the orchestrating parent never opens a TPU client — the device bench runs
+as `bench.py --device-only` in a subprocess (also usable standalone for
+device-only A/Bs), and the CLI runs v2ce.py subprocesses afterwards.
+
+Timing notes: through the axon tunnel `block_until_ready` does not
+reliably block, so we queue N iterations that are data-dependent chained
+and fetch one scalar at the end. The scalar CHECKSUMS EVERY OUTPUT FIELD
+— fetching only a count let XLA dead-code-eliminate the sampler's sort in
+round 1 (PERF.md).
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Total wall-clock budget (s). The round-3 driver killed bench.py at
+# ~600 s; leave headroom below that by default.
+BUDGET_S = float(os.environ.get("V2CE_BENCH_BUDGET_S", "540"))
+
 
 def main():
-    # CLI wall-clock FIRST: it runs v2ce.py in subprocesses, and the axon
-    # tunnel allows only one process at a time — measure before this
-    # process opens its own TPU client.
+    t_start = time.time()
+
+    def remaining():
+        return BUDGET_S - (time.time() - t_start)
+
+    # 1. Device headline (subprocess; parent stays off the TPU tunnel).
+    headline = None
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--device-only"],
+            capture_output=True, text=True,
+            timeout=min(420.0, remaining() - 5))
+        for line in proc.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                headline = json.loads(line)
+        if headline is None:
+            print(f"# device bench emitted no JSON (rc={proc.returncode}):"
+                  f" {proc.stderr[-2000:]}", file=sys.stderr)
+    except subprocess.TimeoutExpired as e:
+        print(f"# device bench timed out: {e}", file=sys.stderr)
+    if headline is None:
+        # Emit a parseable failure record rather than nothing.
+        headline = {"metric": "e2e_frames_per_sec_per_chip", "value": None,
+                    "unit": "frames/s", "vs_baseline": None}
+    print(json.dumps(headline), flush=True)
+
+    # 2. CLI wall clock (best-effort; the headline is already out).
     cli_fps = None
     try:
-        cli_fps = round(cli_wall_clock(num_frames=321), 2)
+        if remaining() > 120:
+            cli_fps = round(cli_wall_clock(num_frames=321,
+                                           budget_s=remaining() - 10), 2)
     except Exception as e:  # noqa: BLE001
         print(f"# e2e CLI measurement failed: {type(e).__name__}: {e}",
               file=sys.stderr)
+    if cli_fps is not None:
+        # Repeat the headline fields so the record stays self-contained
+        # whichever line a consumer parses.
+        print(json.dumps({**headline, "e2e_cli_frames_per_sec": cli_fps}),
+              flush=True)
 
+
+def device_bench():
+    """In-process device pipeline benchmark; prints the headline JSON."""
     import numpy as np
 
     import jax
@@ -56,14 +111,15 @@ def main():
     model = V2ce3d(config=ModelConfig())
     rng = np.random.RandomState(0)
     frames0 = jnp.asarray(rng.rand(1, seq_len + 1, h, w).astype(np.float32))
-    variables = model.init(jax.random.key(0), frames0[:, :3, :, :, None].repeat(2, -1),
+    variables = model.init(jax.random.key(0),
+                           frames0[:, :3, :, :, None].repeat(2, -1),
                            train=False)
 
     # Driver-style execution: forward and sampler as SEPARATE jits with
     # async chained dispatches and one final fetch — how the real pipeline
     # runs. (Fusing both into one jit measured 136 ms/window vs the 82 ms
-    # sum of parts — an XLA scheduling/layout pathology, probed in round
-    # 2; separate dispatches queue server-side so the timing stays valid
+    # sum of parts — an XLA layout-assignment pathology, PERF.md round 3;
+    # separate dispatches queue server-side so the timing stays valid
     # through the axon tunnel.)
     @jax.jit
     def fwd(frames):
@@ -136,17 +192,13 @@ def main():
         print(f"# MFU measurement failed: {type(e).__name__}: {e}",
               file=sys.stderr)
 
-    # e2e_cli_frames_per_sec: full CLI wall clock on the reference README
-    # workload (321 frames @ 30 fps, center; readme.md:23): decode ->
-    # model -> sampler -> event-frame mp4 + npz, host paths included.
     print(json.dumps({
         "metric": "e2e_frames_per_sec_per_chip",
         "value": round(frames_per_sec, 2),
         "unit": "frames/s",
         "vs_baseline": round(frames_per_sec / 300.0, 4),
-        "e2e_cli_frames_per_sec": cli_fps,
         **stage1,
-    }))
+    }), flush=True)
 
 
 def timed_stage1_seconds(fwd, frames0, np, jnp, jax, n_iters=10):
@@ -166,16 +218,20 @@ def timed_stage1_seconds(fwd, frames0, np, jnp, jax, n_iters=10):
     return max(_t.time() - t0, 1e-9) / n_iters
 
 
-def cli_wall_clock(num_frames: int = 321) -> float:
+def cli_wall_clock(num_frames: int = 321, budget_s: float = 1e9) -> float:
     """Run the full CLI (decode -> voxels -> events -> mp4 + npz) on a
-    synthetic clip and return frames/sec of the timed warm run."""
-    import subprocess
+    synthetic clip and return frames/sec of the timed warm run.
+
+    e2e_cli_frames_per_sec: full CLI wall clock on the reference README
+    workload (321 frames @ 30 fps, center; readme.md:23): decode ->
+    model -> sampler -> event-frame mp4 + npz, host paths included."""
     import tempfile
 
     from tools.make_test_video import make_frames
 
     import cv2
 
+    deadline = time.time() + budget_s
     with tempfile.TemporaryDirectory() as td:
         clip = os.path.join(td, "bench_clip.mp4")
         frames = make_frames(num_frames=num_frames)
@@ -192,7 +248,8 @@ def cli_wall_clock(num_frames: int = 321) -> float:
                     os.path.dirname(os.path.abspath(__file__)), "v2ce.py"),
                  "-i", clip, "-t", "center", "--max_frame_num",
                  str(max_frames), "-o", td],
-                check=True, capture_output=True)
+                check=True, capture_output=True,
+                timeout=max(deadline - time.time(), 1.0))
             return time.time() - t0
 
         run(33)                         # compile warm-up (cached afterwards)
@@ -201,4 +258,7 @@ def cli_wall_clock(num_frames: int = 321) -> float:
 
 
 if __name__ == "__main__":
-    main()
+    if "--device-only" in sys.argv[1:]:
+        device_bench()
+    else:
+        main()

@@ -384,17 +384,27 @@ PROBES["compact_algo"] = probe_compact_algo
 
 def probe_compact_chunk_sweep():
     """Chunk sweep for the place compactor at the sampler's chain shape
-    (144 x 179,920, 15% dense, 1 payload). Measured round 3: 16384 is
+    (144 x 179,920, 1 payload). Measured round 3 at 15% density: 16384 is
     the knee (9.19 / 9.44 / 9.34 ms at 16k/32k/64k) — the kernel is
-    butterfly-compute-bound, so larger chunks only add stages."""
+    butterfly-compute-bound, so larger chunks only add stages.
+
+    Density is 8% (~14.4k valid/row) so every config keeps ALL valid
+    elements: compact_rows rounds cap up to a chunk multiple, so at 15%
+    density the chunk=32768/65536 runs got 32k/64k effective caps and
+    kept ~27k valid while chunk=16384 truncated at 16384 — the runs did
+    different amounts of work (round-3 advisor finding). The effective
+    cap is printed per config so any future sweep stays auditable."""
     from v2ce_toolbox_tpu.ops.compact_pallas import INVALID, compact_rows
 
     rng = np.random.RandomState(0)
     f, cb, seg = 16, 9, 2 * 260 * 346
-    keys0 = np.where(rng.rand(f * cb, seg) < 0.15,
+    keys0 = np.where(rng.rand(f * cb, seg) < 0.08,
                      rng.randint(0, 1 << 30, (f * cb, seg)),
                      INVALID).astype(np.int32)
     kx = rng.randint(0, 1 << 30, (f * cb, seg)).astype(np.int32)
+    n_valid = int((keys0 != INVALID).sum(axis=1).max())
+    cap = 1 << 14
+    assert n_valid <= cap, (n_valid, cap)
 
     def perturb(args, acc):
         return tuple(a + (acc * 1e-12).astype(jnp.int32) for a in args)
@@ -402,13 +412,15 @@ def probe_compact_chunk_sweep():
     for chunk in (16384, 32768, 65536):
         def chain(args, ch=chunk):
             kk, px = args
-            o, (op,), kc, t = compact_rows(kk, [px], cap=1 << 14, chunk=ch,
+            o, (op,), kc, t = compact_rows(kk, [px], cap=cap, chunk=ch,
                                            algo="place")
             return o[:, ::255].astype(jnp.int32).sum(), kc.sum()
 
+        cap_eff = -(-cap // chunk) * chunk
         dt = timed_loop(chain, (jnp.asarray(keys0), jnp.asarray(kx)),
                         n_iters=10, perturb=perturb)
-        print(f"place chunk={chunk}: {dt*1e3:.2f} ms "
+        print(f"place chunk={chunk} (cap_eff={cap_eff}, max "
+              f"valid/row={n_valid}): {dt*1e3:.2f} ms "
               f"({f*cb*seg/dt/1e9:.2f} Gelem/s)", flush=True)
 
 

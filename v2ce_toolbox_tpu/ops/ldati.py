@@ -922,7 +922,10 @@ def sample_events(
         C=10 time bins (the reference layout, scripts/LDATI.py:129).
       key: PRNG key for the stochastic additional-event timestamps.
     Returns:
-      EventStream with per-frame (capacity,) buffers, timestamps in int32
+      EventStream with per-frame buffers of width `capacity` clamped to
+      the cb*W merge bound rounded up to 128 lanes (cb = C-1 bins, W =
+      post-sort row width; 524,288 -> 147,456 at the defaults — the
+      merge can never emit more events per frame), timestamps in int32
       µs relative to t0, sorted ascending; invalid slots hold INT32_MAX.
     """
     assert additional_events_strategy in ("none", "random", "slope")

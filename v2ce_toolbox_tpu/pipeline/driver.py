@@ -158,7 +158,8 @@ def _decode_packed_events(words: np.ndarray, side_key: np.ndarray, n: int,
 
 
 def _fetch_chunk_events(s: EventStream, offsets_us: jax.Array, frames: int,
-                        fps: float, skip_lead: int = 0) -> np.ndarray:
+                        fps: float, skip_lead: int = 0,
+                        base_us: int = 0) -> np.ndarray:
     """Flatten + fetch + decode one chunk's events as a structured array,
     adapting the wire format to stream density: dispatch the 3-bit-delta
     flatten first (device cost ~1-2 ms), and if its side list says the
@@ -166,7 +167,13 @@ def _fetch_chunk_events(s: EventStream, offsets_us: jax.Array, frames: int,
     4 B/marker exceeds the 12-bit format's 3.875 B/event), re-dispatch at
     delta_bits=12 and fetch that instead. The density check rides the
     `kept`/`n_side` scalars the exact-length fetch needs anyway, so the
-    dense path pays no extra round trip."""
+    dense path pays no extra round trip.
+
+    `offsets_us` are CHUNK-LOCAL int32 frame starts; `base_us` is the
+    chunk's absolute int64 start, added host-side after decode. The wire
+    format itself never sees absolute time, so stream length is unbounded
+    (the reference keeps int64 offsets host-side the same way,
+    /root/reference/v2ce.py:363-367)."""
     from v2ce_toolbox_tpu.events import EVENT_DTYPE
 
     span = int((frames + 1) * 1e6 / fps) + 2
@@ -193,7 +200,7 @@ def _fetch_chunk_events(s: EventStream, offsets_us: jax.Array, frames: int,
         np.asarray(words[:, :-(-n // 32)]), side_key[:m], n,
         delta_bits=bits)
     out = np.zeros(n, dtype=EVENT_DTYPE)
-    out["timestamp"] = ts
+    out["timestamp"] = ts + np.int64(base_us)
     out["x"], out["y"], out["polarity"] = x_, y_, p_
     return out
 
@@ -375,11 +382,8 @@ class V2cePipeline:
         (x, y, p) packed into an int32 payload), so only the actual events
         cross to the host — the fixed buffers are ~85-95% empty and
         fetching them measured ~1.6 GB per 321-frame video through the
-        TPU tunnel. Videos longer than ~35 min would overflow the int32
-        absolute-µs offsets and fall back to the per-frame fetch."""
-        from v2ce_toolbox_tpu.events import EVENT_DTYPE
-        from v2ce_toolbox_tpu.io.native import pack_event_stream
-
+        TPU tunnel. The wire format is chunk-rebased (int64 chunk base +
+        int32 in-chunk offsets), so any video length works."""
         cfg = self.config
         if key is None:
             key = jax.random.key(0)
@@ -391,7 +395,6 @@ class V2cePipeline:
         if pad:
             v = jnp.concatenate(
                 [v, jnp.zeros((pad, *v.shape[1:]), v.dtype)], axis=0)
-        flat_ok = (t / cfg.fps) * 1e6 + 2e6 < 2 ** 31
 
         parts = []
         for i in range(n_chunks):
@@ -404,16 +407,12 @@ class V2cePipeline:
             frames = min(chunk, t - base)
             offsets64 = ((np.arange(chunk) + base) / cfg.fps * 1e6
                          ).astype(np.int64)
-            if flat_ok:
-                parts.append(_fetch_chunk_events(
-                    s, jnp.asarray(offsets64.astype(np.int32)), frames,
-                    cfg.fps))
-            else:
-                parts.append(pack_event_stream(
-                    np.asarray(s.t_us[:frames]), np.asarray(s.x[:frames]),
-                    np.asarray(s.y[:frames]), np.asarray(s.p[:frames]),
-                    np.asarray(s.count[:frames], np.int32),
-                    offsets64[:frames]))
+            base_us = int(offsets64[0])
+            rel = offsets64 - base_us           # in-chunk: spans chunk/fps s
+            assert rel[-1] + 2e6 < 2 ** 31
+            parts.append(_fetch_chunk_events(
+                s, jnp.asarray(rel.astype(np.int32)), frames, cfg.fps,
+                base_us=base_us))
         return np.concatenate(parts) if parts else np.zeros(0)
 
     # -- full run ---------------------------------------------------------
@@ -509,7 +508,6 @@ class V2cePipeline:
         """
         import os
 
-        from v2ce_toolbox_tpu.events import EVENT_DTYPE
         from v2ce_toolbox_tpu.io.video import (
             VideoReader,
             list_image_frames,
@@ -541,41 +539,57 @@ class V2cePipeline:
         t_start = time.time()
         starts, mode = plan_windows(frame_count, cfg.seq_len)
         key = jax.random.key(0)
-        flat_ok = (frame_count / cfg.fps) * 1e6 + 2e6 < 2 ** 31
-        assert flat_ok, "streaming mode supports videos up to ~35 min"
 
         parts: List[np.ndarray] = []
         ef_sums: List[jax.Array] = []
         h_out = w_out = None
-        for i, start in enumerate(starts):
-            idx = range(int(start), int(start) + cfg.seq_len + 1)
-            if vidcap is not None:
-                raw = vidcap.read_frames_at_indices(idx)
-            else:
-                raw = read_gray_images([paths[j] for j in idx])
-            frames_in = resize_frames(raw, cfg.height)[None]
-            if self.mesh is not None:
-                n_dp = self.mesh.shape["data"]
-                frames_in = np.repeat(frames_in, n_dp, axis=0)
+        # With a mesh, each forward dispatch carries n_dp DISTINCT windows
+        # round-robined onto the batch axis (sharded chip-local by
+        # make_forward_fn) — every chip computes a different window. The
+        # per-window sampler keys fold_in the GLOBAL window index, so the
+        # emitted stream is identical to the single-chip run.
+        n_dp = self.mesh.shape["data"] if self.mesh is not None else 1
+        for g in range(0, len(starts), n_dp):
+            group = starts[g:g + n_dp]
+            frame_stack = []
+            for start in group:
+                idx = range(int(start), int(start) + cfg.seq_len + 1)
+                if vidcap is not None:
+                    raw = vidcap.read_frames_at_indices(idx)
+                else:
+                    raw = read_gray_images([paths[j] for j in idx])
+                frame_stack.append(resize_frames(raw, cfg.height))
+            frames_in = np.stack(frame_stack, axis=0)   # (k, L+1, H, W')
+            if len(group) < n_dp:
+                # pad the final group (sharding needs even division);
+                # padded windows are never sampled
+                frames_in = np.concatenate(
+                    [frames_in,
+                     np.repeat(frames_in[-1:], n_dp - len(group), axis=0)],
+                    axis=0)
             fwd = self._forward_fn(frames_in.shape[-1])
-            vox = fwd(jnp.asarray(frames_in))[0]        # (16, H, W, 20)
-            h_out, w_out = vox.shape[1], vox.shape[2]
-            v = jnp.transpose(vox, (0, 3, 1, 2)).reshape(
-                cfg.seq_len, 2, vox.shape[-1] // 2, *vox.shape[1:3])
+            vox_all = fwd(jnp.asarray(frames_in))   # (n_dp, 16, H, W, 20)
+            for j, start in enumerate(group):
+                i = g + j
+                vox = vox_all[j]
+                h_out, w_out = vox.shape[1], vox.shape[2]
+                v = jnp.transpose(vox, (0, 3, 1, 2)).reshape(
+                    cfg.seq_len, 2, vox.shape[-1] // 2, *vox.shape[1:3])
 
-            is_last = i == len(starts) - 1
-            skip = (cfg.seq_len - mode) if (is_last and mode) else 0
-            s = sample_events(
-                v, jax.random.fold_in(key, i),
-                **cfg.sampler.sample_kwargs(fps=cfg.fps),
-            )
-            offsets = ((np.arange(cfg.seq_len) + int(start)) / cfg.fps
-                       * 1e6).astype(np.int32)
-            if cfg.write_event_frame_video:
-                ef_sums.append(v.sum(axis=2)[skip:])    # (16-skip, 2, H, W)
-            parts.append(_fetch_chunk_events(
-                s, jnp.asarray(offsets), cfg.seq_len, cfg.fps,
-                skip_lead=skip))
+                is_last = i == len(starts) - 1
+                skip = (cfg.seq_len - mode) if (is_last and mode) else 0
+                s = sample_events(
+                    v, jax.random.fold_in(key, i),
+                    **cfg.sampler.sample_kwargs(fps=cfg.fps),
+                )
+                offsets64 = ((np.arange(cfg.seq_len) + int(start)) / cfg.fps
+                             * 1e6).astype(np.int64)
+                base_us = int(offsets64[0])     # window-rebased: any length
+                if cfg.write_event_frame_video:
+                    ef_sums.append(v.sum(axis=2)[skip:])  # (16-skip,2,H,W)
+                parts.append(_fetch_chunk_events(
+                    s, jnp.asarray((offsets64 - base_us).astype(np.int32)),
+                    cfg.seq_len, cfg.fps, skip_lead=skip, base_us=base_us))
         if vidcap is not None:
             vidcap.close()
 
