@@ -133,3 +133,29 @@ def test_gen_pack_sums_match_grid():
     np.testing.assert_array_equal(np.asarray(emit), emit_ref)
     np.testing.assert_array_equal(np.asarray(drop), drop_ref)
     assert kx is not None and keys.shape == (f, c - 1, p, h, w)
+
+
+def test_wide_pano_grid_supported_and_equal():
+    """Merged-pano grids (W > 346) must stay on the fused kernel: round 4
+    found v2ce.py -t pano at W=520 failed TPU compile with a scoped-vmem
+    OOM because the per-step block set (full P in one block) exceeded the
+    100 MB limit. Polarity now rides the grid; supported() models the
+    double-buffered block set. Exercised here at a reduced H with the
+    real pano width."""
+    import jax
+    import jax.numpy as jnp
+
+    from v2ce_toolbox_tpu.ops.gen_pallas import supported
+    from v2ce_toolbox_tpu.ops.ldati import sample_events
+
+    assert supported(260, 520, "slope", 16)      # the failing pano config
+    assert supported(260, 692, "slope", 16)      # 2-strip merge
+    assert not supported(260, 1038, "slope", 16)  # 3-strip: XLA fallback
+    v = _grid(7, f=2, h=8, w=520, density=0.15)
+    key = jax.random.key(4)
+    kw = dict(additional_events_strategy="slope", capacity=1 << 13,
+              cap_bin=1 << 11, multi_cap=512, sort_cap=1 << 11)
+    a = sample_events(jnp.asarray(v), key, use_gen_kernel=True, **kw)
+    b = sample_events(jnp.asarray(v), key, use_gen_kernel=False, **kw)
+    _streams_equal(a, b, "wide-pano")
+    assert int(np.asarray(a.count).sum()) > 0

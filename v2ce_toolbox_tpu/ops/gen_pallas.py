@@ -56,19 +56,23 @@ def supported(h: int, w: int, strategy: str, mepv: int) -> bool:
 
     The uncovered corners (bidirectional relocation, spatial pooling,
     mepv == 1 with the 'slope' strategy whose slot-0 draw happens on the
-    grid, and grids whose full-H block would blow VMEM) fall back to the
-    XLA generation path in `ldati.sample_events`.
+    grid, and grids whose blocks would blow VMEM) fall back to the XLA
+    generation path in `ldati.sample_events`.
     """
     if strategy not in ("none", "slope"):
         return False
     if strategy == "slope" and mepv <= 1:
         return False
-    # per-step VMEM: input block (P*C planes) + keys/kx blocks (2*P*(C-1))
-    # + ~3*(C-1) live per-polarity temporaries, double-buffered by the
-    # pipeline; keep the raw block total under ~48 MB
+    # per-step VMEM with polarity in the grid: input block (C planes) +
+    # keys/kx blocks (2*(C-1)), double-buffered by the pipeline, plus
+    # ~3*(C+1) live temporaries (counts/tendency/cnt_f). The compiled
+    # scoped-vmem limit is 100 MB (vmem_limit_bytes below); keep the
+    # model under 90 MB so wide pano grids (merged strips, W > 346:
+    # pipeline/driver.py) either fit or fall back instead of failing
+    # compile with a scoped-vmem OOM.
     th = _block_rows(h)
-    planes = 2 * 10 + 2 * 2 * 9 + 3 * 9
-    return planes * th * w * 4 <= 48 * 1024 * 1024
+    planes = 2 * (10 + 2 * 9) + 3 * 11
+    return planes * th * w * 4 <= 90 * 1024 * 1024
 
 
 def _gen_kernel(v_ref, keys_ref, *rest, cb, p, th, w, h, fps_f, cbf, vs2,
@@ -79,9 +83,10 @@ def _gen_kernel(v_ref, keys_ref, *rest, cb, p, th, w, h, fps_f, cbf, vs2,
         kx_ref, sums_ref = None, rest[0]
     acc = rest[-1]                     # SMEM (2,) int32: emit, capdrop
 
-    hi = pl.program_id(1)
+    po = pl.program_id(1)              # output polarity (0 = ON); the
+    hi = pl.program_id(2)              # input BlockSpec applies the flip
 
-    @pl.when(hi == 0)
+    @pl.when((po == 0) & (hi == 0))
     def _():
         acc[0] = 0
         acc[1] = 0
@@ -91,74 +96,72 @@ def _gen_kernel(v_ref, keys_ref, *rest, cb, p, th, w, h, fps_f, cbf, vs2,
 
     emit_acc = jnp.zeros((), jnp.int32)
     drop_acc = jnp.zeros((), jnp.int32)
-    for po in range(p):
-        pi = p - 1 - po                # polarity flip: output 0 is ON
 
-        # --- relocation: 9-step debt scan over the time bins
-        # (LDATI.py:99), identical f32 ops to ldati.relocate_counts ----
-        debt = jnp.zeros((th, w), jnp.float32)
-        counts = []
-        tend = []
-        for ci in range(cb):
-            yb = v_ref[0, pi, ci]
-            avail = yb - debt
-            cf = jnp.ceil(avail - 1e-6)
-            debt = cf - avail
-            counts.append(cf.astype(jnp.int32))
-            tend.append(debt)
-        # fold the final input bin into the last output bin, truncating
-        # toward zero (ldati.relocate_counts / LDATI.py:106)
-        counts[cb - 1] = counts[cb - 1] + (
-            v_ref[0, pi, cb] - debt).astype(jnp.int32)
+    # --- relocation: 9-step debt scan over the time bins
+    # (LDATI.py:99), identical f32 ops to ldati.relocate_counts ----
+    debt = jnp.zeros((th, w), jnp.float32)
+    counts = []
+    tend = []
+    for ci in range(cb):
+        yb = v_ref[0, 0, ci]
+        avail = yb - debt
+        cf = jnp.ceil(avail - 1e-6)
+        debt = cf - avail
+        counts.append(cf.astype(jnp.int32))
+        tend.append(debt)
+    # fold the final input bin into the last output bin, truncating
+    # toward zero (ldati.relocate_counts / LDATI.py:106)
+    counts[cb - 1] = counts[cb - 1] + (
+        v_ref[0, 0, cb] - debt).astype(jnp.int32)
 
-        cnt_f = [c.astype(jnp.float32) for c in counts]
+    cnt_f = [c.astype(jnp.float32) for c in counts]
 
-        # within-bin flat voxel id on the P-flipped (p, h, w) order
-        vox = (po * h + hi * th + rows) * w + cols
+    # within-bin flat voxel id on the P-flipped (p, h, w) order
+    vox = (po * h + hi * th + rows) * w + cols
 
-        for ci in range(cb):
-            cnt = counts[ci]
-            is_chain = cnt == 1
-            if with_kx:
-                emit = jnp.where(is_chain, 1, jnp.minimum(cnt, mepv))
-                emit = jnp.maximum(emit, 0)
+    for ci in range(cb):
+        cnt = counts[ci]
+        is_chain = cnt == 1
+        if with_kx:
+            emit = jnp.where(is_chain, 1, jnp.minimum(cnt, mepv))
+            emit = jnp.maximum(emit, 0)
+        else:
+            emit = is_chain.astype(jnp.int32)
+
+        # chain timestamp -> relative µs (same float path as the
+        # wrapper: tendency / fps / cb + bin_start, * 1e6, truncate)
+        ts_us = ((tend[ci] / fps_f / cbf + bs_f[ci])
+                 * jnp.float32(1e6)).astype(jnp.int32)
+        rel = jnp.clip(ts_us - bs_us[ci], 0, ts_cap)
+        if with_kx:
+            rel = jnp.where(is_chain, rel, 0)
+
+        keys_ref[0, ci, 0] = jnp.where(
+            emit > 0, (rel << vox_bits) | vox, INVALID)
+
+        if with_kx:
+            # slope k (ldati.slope_params: symmetric difference of
+            # the relocated integer counts, zero at the boundary
+            # bins) with the extra-event count packed into its 8 low
+            # mantissa bits
+            if ci == 0 or ci == cb - 1:
+                k = jnp.zeros((th, w), jnp.float32)
             else:
-                emit = is_chain.astype(jnp.int32)
-
-            # chain timestamp -> relative µs (same float path as the
-            # wrapper: tendency / fps / cb + bin_start, * 1e6, truncate)
-            ts_us = ((tend[ci] / fps_f / cbf + bs_f[ci])
-                     * jnp.float32(1e6)).astype(jnp.int32)
-            rel = jnp.clip(ts_us - bs_us[ci], 0, ts_cap)
-            if with_kx:
-                rel = jnp.where(is_chain, rel, 0)
-
-            keys_ref[0, ci, po] = jnp.where(
-                emit > 0, (rel << vox_bits) | vox, INVALID)
-
-            if with_kx:
-                # slope k (ldati.slope_params: symmetric difference of
-                # the relocated integer counts, zero at the boundary
-                # bins) with the extra-event count packed into its 8 low
-                # mantissa bits
-                if ci == 0 or ci == cb - 1:
-                    k = jnp.zeros((th, w), jnp.float32)
-                else:
-                    k_raw = (cnt_f[ci + 1] - cnt_f[ci - 1]
-                             ) * jnp.float32(0.5)
-                    k = k_raw / vs2 / (cnt_f[ci] + jnp.float32(1e-8))
-                extra = jnp.minimum(jnp.maximum(cnt - 1, 0), mepv - 1)
-                extra = jnp.minimum(extra, 255)
-                kbits = pltpu.bitcast(k, jnp.int32)
-                kx_ref[0, ci, po] = (kbits & ~jnp.int32(0xFF)) | extra
-                drop_acc = drop_acc + jnp.sum(
-                    jnp.where(cnt > mepv, cnt - mepv, 0))
-            emit_acc = emit_acc + jnp.sum(emit)
+                k_raw = (cnt_f[ci + 1] - cnt_f[ci - 1]
+                         ) * jnp.float32(0.5)
+                k = k_raw / vs2 / (cnt_f[ci] + jnp.float32(1e-8))
+            extra = jnp.minimum(jnp.maximum(cnt - 1, 0), mepv - 1)
+            extra = jnp.minimum(extra, 255)
+            kbits = pltpu.bitcast(k, jnp.int32)
+            kx_ref[0, ci, 0] = (kbits & ~jnp.int32(0xFF)) | extra
+            drop_acc = drop_acc + jnp.sum(
+                jnp.where(cnt > mepv, cnt - mepv, 0))
+        emit_acc = emit_acc + jnp.sum(emit)
 
     acc[0] = acc[0] + emit_acc
     acc[1] = acc[1] + drop_acc
 
-    @pl.when(hi == n_h - 1)
+    @pl.when((po == p - 1) & (hi == n_h - 1))
     def _():
         lane = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 1)
         row0 = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 0) == 0
@@ -215,34 +218,39 @@ def gen_pack(voxels: jax.Array, *, fps: int, t0: float, strategy: str,
         with_kx=with_kx, n_h=n_h)
 
     out_shapes = [jax.ShapeDtypeStruct((bb, cb, p, h, w), jnp.int32)]
-    out_specs = [pl.BlockSpec((1, cb, p, th, w),
-                              lambda b, hi: (b, 0, 0, hi, 0),
+    out_specs = [pl.BlockSpec((1, cb, 1, th, w),
+                              lambda b, po, hi: (b, 0, po, hi, 0),
                               memory_space=pltpu.VMEM)]
     if with_kx:
         out_shapes.append(
             jax.ShapeDtypeStruct((bb, cb, p, h, w), jnp.int32))
-        out_specs.append(pl.BlockSpec((1, cb, p, th, w),
-                                      lambda b, hi: (b, 0, 0, hi, 0),
+        out_specs.append(pl.BlockSpec((1, cb, 1, th, w),
+                                      lambda b, po, hi: (b, 0, po, hi, 0),
                                       memory_space=pltpu.VMEM))
     # per-frame sums ride out in one (8, 128) tile per frame, written at
     # the final row block: [0, 0] = emit total, [0, 1] = capacity drops
     out_shapes.append(jax.ShapeDtypeStruct((bb, 8, _LANES), jnp.int32))
-    out_specs.append(pl.BlockSpec((1, 8, _LANES), lambda b, hi: (b, 0, 0),
+    out_specs.append(pl.BlockSpec((1, 8, _LANES),
+                                  lambda b, po, hi: (b, 0, 0),
                                   memory_space=pltpu.VMEM))
 
     outs = pl.pallas_call(
         kernel,
-        grid=(bb, n_h),
-        in_specs=[pl.BlockSpec((1, p, c, th, w),
-                               lambda b, hi: (b, 0, 0, hi, 0),
+        # polarity rides the grid (output po reads input plane p-1-po:
+        # the flip is the index map) so the per-step block set is half
+        # the full-P version's — wide merged-pano grids (W > 346) fit
+        # the 100 MB scoped-vmem limit instead of OOMing at compile
+        grid=(bb, p, n_h),
+        in_specs=[pl.BlockSpec((1, 1, c, th, w),
+                               lambda b, po, hi: (b, p - 1 - po, 0, hi, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
             # 260 has no multiple-of-8 divisor, so the row block is the
-            # full height and the in+keys+kx blocks total ~30 MB —
+            # full height and the in+keys+kx blocks total ~15 MB —
             # above the 16 MB default scoped-vmem budget, well inside
             # the chip's 128 MB
             vmem_limit_bytes=100 * 1024 * 1024),

@@ -678,6 +678,18 @@ def _sample_events_v3(
 
     use_multi = strategy != "none" and mepv > 1
 
+    # 'random' (reference LDATI.py:173-174): additional timestamps are
+    # raw U[0,1) SECONDS past the bin start — ~20 rel-µs bits, too wide
+    # for the packed key. The pipeline runs in two-word form: the packed
+    # keys keep carrying identity (and the in-bin chain rel) through the
+    # compactions, while a separate rel-µs word becomes the single sort
+    # key with the voxel id routed as payload. Bins still concatenate in
+    # bin order (the reference sorts per channel and concatenates,
+    # LDATI.py:290-300, so its 'random' streams are not globally
+    # time-sorted either).
+    wide = strategy == "random"
+    wide_cap = np.int32(int(1e6) + int(voxel_step * 1e6) + 2)
+
     # defer non-chain slot-0 draws to AFTER the chain compaction: the
     # drawn timestamp only matters for the post-compaction sort, and the
     # compaction neither orders by key value nor drops by it (whole
@@ -685,8 +697,10 @@ def _sample_events_v3(
     # compacted rows instead of the full ~26M grid is exact — an ~11x cut
     # in RNG + inverse-CDF volume. Needs the kx payload to identify
     # non-chain slots (extra >= 1 iff counts >= 2 when mepv > 1), so the
-    # mepv == 1 corner keeps the pre-compaction draw.
-    defer_draw = use_multi
+    # mepv == 1 corner keeps the pre-compaction draw — except for 'random'
+    # whose wide draws can only be applied post-compaction (the payload's
+    # extra field is widened below to keep the non-chain marker).
+    defer_draw = use_multi or wide
 
     if packed is not None:
         # fused generation (ops/gen_pallas.gen_pack): keys/payloads and
@@ -734,8 +748,11 @@ def _sample_events_v3(
         keys0 = jnp.where(emit_f > 0, packed0, _INV).reshape(f * cb, seg)
 
         payloads = []
-        if use_multi:
-            extra = jnp.minimum(jnp.maximum(counts - 1, 0), mepv - 1)
+        if use_multi or wide:
+            # 'random' with mepv == 1 runs no tiers but still needs the
+            # deferred wide draw, so extra keeps marking counts >= 2
+            xcap = 255 if (wide and mepv == 1) else mepv - 1
+            extra = jnp.minimum(jnp.maximum(counts - 1, 0), xcap)
             extra = jnp.minimum(extra, 255)
             kx = lax.bitcast_convert_type(k.astype(jnp.float32), jnp.int32)
             kx = (kx & ~jnp.int32(0xFF)) | extra
@@ -747,31 +764,46 @@ def _sample_events_v3(
     chain_keys, chain_pays, _, _ = compact_rows(
         keys0, payloads, cap=cap_bin, chunk=chunk, algo="place")
 
+    chain_rel = None
     if defer_draw:
         # deferred slot-0 draw for non-chain voxels (extra >= 1), on the
         # compacted rows only. Bin starts recompute arithmetically per
         # row (identical float expressions to the grid path: the caller
         # builds bin_start_us_i as ((bin*step + t0)*1e6).astype(int32)).
         ckx0 = chain_pays[0]
-        k_c = lax.bitcast_convert_type(ckx0 & ~jnp.int32(0xFF),
-                                       jnp.float32)
-        b_c = 1.0 / voxel_step - voxel_step * k_c / 2.0
         u0c = jax.random.uniform(jax.random.fold_in(key, 0),
                                  chain_keys.shape)
-        t_add_c = _inverse_cdf_ts(u0c, k_c, b_c, voxel_step)
+        if wide:
+            t_add_c = u0c              # raw U[0,1) s (LDATI.py:173-174)
+        else:
+            k_c = lax.bitcast_convert_type(ckx0 & ~jnp.int32(0xFF),
+                                           jnp.float32)
+            b_c = 1.0 / voxel_step - voxel_step * k_c / 2.0
+            t_add_c = _inverse_cdf_ts(u0c, k_c, b_c, voxel_step)
         rb = (lax.broadcasted_iota(jnp.int32, chain_keys.shape, 0)
               % cb).astype(jnp.float32)
         bs_us_row = ((rb * voxel_step + t0) * 1e6).astype(jnp.int32)
         bs_s_row = bs_us_row.astype(jnp.float32) * 1e-6
         ts_draw = ((t_add_c + bs_s_row) * 1e6).astype(jnp.int32)
-        rel_draw = jnp.clip(ts_draw - bs_us_row, 0, ts_cap)
+        rel_draw = jnp.clip(ts_draw - bs_us_row, 0,
+                            wide_cap if wide else ts_cap)
         non_chain = (chain_keys != _INV) & ((ckx0 & 0xFF) > 0)
-        chain_keys = jnp.where(
-            non_chain,
-            (rel_draw << vox_bits) | (chain_keys & vox_mask),
-            chain_keys)
+        if wide:
+            # two-word form: the wide rel-µs never enters the packed key
+            chain_rel = jnp.where(chain_keys != _INV,
+                                  chain_keys >> vox_bits, _INV)
+            chain_rel = jnp.where(non_chain, rel_draw, chain_rel)
+        else:
+            chain_keys = jnp.where(
+                non_chain,
+                (rel_draw << vox_bits) | (chain_keys & vox_mask),
+                chain_keys)
 
     rows = [chain_keys]
+    if wide:
+        rows_rel = [chain_rel]
+        rows_vox = [jnp.where(chain_keys != _INV,
+                              chain_keys & vox_mask, 0)]
 
     if use_multi:
         ckx = chain_pays[0]
@@ -810,10 +842,18 @@ def _sample_events_v3(
         for j in range(1, mepv):
             n_j = tier(j)
             u = jax.random.uniform(jax.random.fold_in(key, j), (f * cb, n_j))
+            valid_j = m_extra[:, :n_j] >= j
+            if wide:
+                # same float path as the reference (raw seconds + bin
+                # start, truncate to µs: LDATI.py:173-174,211-214)
+                ts_j = ((u + bs_s_row[:, :n_j]) * 1e6).astype(jnp.int32)
+                rel = jnp.clip(ts_j - bs_us_row[:, :n_j], 0, wide_cap)
+                rows_rel.append(jnp.where(valid_j, rel, _INV))
+                rows_vox.append(mvox[:, :n_j])
+                continue
             t_add = _inverse_cdf_ts(u, mk_f[:, :n_j], mb_f[:, :n_j],
                                     voxel_step)
             rel = jnp.clip((t_add * 1e6).astype(jnp.int32), 0, ts_cap)
-            valid_j = m_extra[:, :n_j] >= j
             rows.append(jnp.where(valid_j, (rel << vox_bits) | mvox[:, :n_j],
                                   _INV))
 
@@ -826,22 +866,39 @@ def _sample_events_v3(
     # volume ~2x. Chunks beyond sort_cap drop whole, chains first in the
     # concat order (favored on overflow); every such drop lands in
     # `dropped` exactly via total_emit - kept below.
-    merged_in = jnp.concatenate(rows, axis=1)
-    if sort_cap is not None and sort_cap < merged_in.shape[1]:
-        # chunk <= sort_cap so the effective cap (rounded up to a chunk
-        # multiple) stays at sort_cap for power-of-two caps
-        merged_in, _, _, _ = compact_rows(
-            merged_in, (), cap=sort_cap, chunk=min(4096, sort_cap),
-            algo="place")
-    merged = lax.sort(merged_in, dimension=1)
+    if wide:
+        # two-word final sort: rel-µs is the single sort key, the voxel
+        # id rides as payload (lax.sort is stable, so ties keep the
+        # bin-major voxel order like the packed key's low bits do)
+        rel_in = jnp.concatenate(rows_rel, axis=1)
+        vox_in = jnp.concatenate(rows_vox, axis=1)
+        if sort_cap is not None and sort_cap < rel_in.shape[1]:
+            rel_in, (vox_in,), _, _ = compact_rows(
+                rel_in, [vox_in], cap=sort_cap,
+                chunk=min(4096, sort_cap), algo="place")
+        rel_only, vox_s = lax.sort((rel_in, vox_in), dimension=1,
+                                   num_keys=1)
+        row_bin = lax.broadcasted_iota(
+            jnp.int32, (f * cb, rel_only.shape[1]), 0) % cb
+        gvox = jnp.where(rel_only != _INV, vox_s + row_bin * seg, 0)
+    else:
+        merged_in = jnp.concatenate(rows, axis=1)
+        if sort_cap is not None and sort_cap < merged_in.shape[1]:
+            # chunk <= sort_cap so the effective cap (rounded up to a
+            # chunk multiple) stays at sort_cap for power-of-two caps
+            merged_in, _, _, _ = compact_rows(
+                merged_in, (), cap=sort_cap, chunk=min(4096, sort_cap),
+                algo="place")
+        merged = lax.sort(merged_in, dimension=1)
 
-    # merge the time-disjoint bins of each frame; carry the global voxel
-    # id (bin * seg + vox) as payload so decode survives the merge
-    row_bin = lax.broadcasted_iota(
-        jnp.int32, (f * cb, merged.shape[1]), 0) % cb
-    gvox = jnp.where(merged != _INV,
-                     (merged & vox_mask) + row_bin * seg, 0)
-    rel_only = jnp.where(merged != _INV, merged >> vox_bits, _INV)
+        # merge the time-disjoint bins of each frame; carry the global
+        # voxel id (bin * seg + vox) as payload so decode survives the
+        # merge
+        row_bin = lax.broadcasted_iota(
+            jnp.int32, (f * cb, merged.shape[1]), 0) % cb
+        gvox = jnp.where(merged != _INV,
+                         (merged & vox_mask) + row_bin * seg, 0)
+        rel_only = jnp.where(merged != _INV, merged >> vox_bits, _INV)
 
     # bins are time-disjoint and each row is sorted, so the frame stream
     # is the concatenation of the rows' valid prefixes — an O(W) append
@@ -935,13 +992,17 @@ def sample_events(
     voxel_step = 1.0 / fps / (c - 1)
     cb = c - 1  # bins after relocation
 
-    # v3 roll-compaction path: used whenever the sub-bin µs fit the packed
-    # int32 key (true for the 'slope'/'none' strategies at any realistic
-    # fps; 'random' draws whole-frame second offsets and falls back to the
-    # v2 sort path below).
+    # v3 roll-compaction path: used whenever the CHAIN sub-bin µs fit the
+    # packed int32 key (true at any realistic fps). The 'random' strategy
+    # draws raw U[0,1)-second offsets for additional events (reference:
+    # LDATI.py:173-174) — those need ~20 µs-bits and cannot share the
+    # packed key, so _sample_events_v3 runs them in its two-word form
+    # (rel-µs sort key + routed voxel payload); only the final sort
+    # widens, the compaction machinery is shared.
     seg_bits = max(int(np.ceil(np.log2(max(p * h * w, 2)))), 1)
     max_rel_us = int(voxel_step * 1e6) + 2
-    take_v3 = (use_v3 and additional_events_strategy in ("none", "slope")
+    take_v3 = (use_v3
+               and additional_events_strategy in ("none", "slope", "random")
                and max_rel_us <= (1 << (31 - seg_bits)) - 2)
     # pre-ordered layout: apply the frame_order_voxels transpose ONCE to
     # the input grid — (B, P, C, H, W) -> (B, C, P_flipped*H, W) — so
