@@ -1590,6 +1590,181 @@ def probe_model_variants():
 PROBES["model_variants"] = probe_model_variants
 
 
+def probe_winograd():
+    """Winograd F(2x2,3x3) (XLA formulation, ops/winograd.py) vs direct
+    XLA conv on the fill-bound stride-1 model layers — measures whether
+    the 2.25x dot-volume cut survives the transform data movement when
+    XLA schedules it (the Pallas kernel is the VMEM-resident variant)."""
+    from jax import lax
+
+    from v2ce_toolbox_tpu.ops.winograd import conv3d_winograd
+
+    shapes = [
+        ("dec3_conv1", (1, 16, 260, 346, 96), 32),
+        ("dec2_conv1", (1, 16, 130, 173, 192), 64),
+        ("dec3_conv2", (1, 16, 260, 346, 32), 32),
+    ]
+    for name, xshape, cout in shapes:
+        cin = xshape[-1]
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.rand(*xshape).astype(np.float32))
+        k = jnp.asarray(rng.rand(3, 3, 3, cin, cout).astype(np.float32)
+                        * 0.01)
+        flops_direct = 2 * np.prod(xshape[:4]) * cin * cout * 27
+
+        def direct(dtype):
+            def fn(args):
+                xx, kk = args
+                return lax.conv_general_dilated(
+                    xx.astype(dtype), kk.astype(dtype),
+                    window_strides=(1, 1, 1), padding=((1, 1),) * 3,
+                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                    preferred_element_type=jnp.float32)
+            return fn
+
+        def wino(dtype):
+            def fn(args):
+                xx, kk = args
+                return conv3d_winograd(xx, kk, compute_dtype=dtype)
+            return fn
+
+        for label, fn in [("direct_bf16", direct(jnp.bfloat16)),
+                          ("wino_bf16", wino(jnp.bfloat16)),
+                          ("wino_f32", wino(jnp.float32))]:
+            try:
+                dt = timed_loop(fn, (x, k), n_iters=10)
+                print(f"{name} {label}: {dt*1e3:.2f} ms  "
+                      f"{flops_direct/dt/1e12:.1f} TF/s-equiv", flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"{name} {label}: FAILED {type(e).__name__}: {e}",
+                      flush=True)
+
+
+PROBES["winograd"] = probe_winograd
+
+
+def probe_wino_pallas():
+    """Mosaic Winograd F(4,3)_LxH kernel (ops/winograd_pallas.py) vs
+    direct XLA conv on the fill-bound model layers, sweeping block
+    configs."""
+    from jax import lax
+
+    from v2ce_toolbox_tpu.ops.winograd_pallas import conv3d_wino4
+
+    shapes = [
+        ("dec3_conv1", (1, 16, 260, 346, 96), 32),
+        ("dec2_conv1", (1, 16, 130, 173, 192), 64),
+        ("dec3_conv2", (1, 16, 260, 346, 32), 32),
+    ]
+    for name, xshape, cout in shapes:
+        cin = xshape[-1]
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.rand(*xshape).astype(np.float32) - 0.5)
+        xb = x.astype(jnp.bfloat16)
+        k = jnp.asarray(rng.rand(3, 3, 3, cin, cout).astype(np.float32)
+                        * 0.05)
+        kb = k.astype(jnp.bfloat16)
+        flops_direct = 2 * np.prod(xshape[:4]) * cin * cout * 27
+
+        def direct(args):
+            xx, kk = args
+            return lax.conv_general_dilated(
+                xx, kk, window_strides=(1, 1, 1), padding=((1, 1),) * 3,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                preferred_element_type=jnp.float32)
+
+        # correctness spot-check on chip before timing
+        ref = np.asarray(direct((xb, kb)))
+        got = np.asarray(conv3d_wino4(xb, kb))
+        rel = (np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9))
+        print(f"{name} wino-vs-direct bf16 rel err: {rel:.2e}", flush=True)
+
+        for dlabel, xx, kk in [("bf16", xb, kb), ("f32", x, k)]:
+            dt = timed_loop(direct, (xx, kk), n_iters=10)
+            print(f"{name} direct_{dlabel}: {dt*1e3:.2f} ms  "
+                  f"{flops_direct/dt/1e12:.1f} TF/s", flush=True)
+            for lt, th in [(8, 8), (4, 8), (8, 4), (4, 4)]:
+                if xshape[1] % lt or lt < 4 or th < 4:
+                    continue
+
+                def wfn(args, lt=lt, th=th):
+                    ax, ak = args
+                    return conv3d_wino4(ax, ak, lt=lt, th=th)
+
+                try:
+                    dt = timed_loop(wfn, (xx, kk), n_iters=10)
+                    print(f"{name} wino4_{dlabel}[lt={lt},th={th}]: "
+                          f"{dt*1e3:.2f} ms  "
+                          f"{flops_direct/dt/1e12:.1f} TF/s-equiv",
+                          flush=True)
+                except Exception as e:  # noqa: BLE001
+                    print(f"{name} wino4_{dlabel}[lt={lt},th={th}]: FAILED "
+                          f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+
+
+PROBES["wino_pallas"] = probe_wino_pallas
+
+
+def probe_wino_ablate():
+    """Stage-cost attribution for the Winograd kernel: full vs noinv
+    (no AT collapses) vs nodot (fake z) on the dec3_conv1 shape."""
+    from v2ce_toolbox_tpu.ops.winograd_pallas import conv3d_wino4
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(1, 16, 260, 346, 96).astype(np.float32) - 0.5)
+    k = jnp.asarray(rng.rand(3, 3, 3, 96, 32).astype(np.float32) * 0.05)
+    for dlabel, xx, kk in [("bf16", x.astype(jnp.bfloat16),
+                            k.astype(jnp.bfloat16)), ("f32", x, k)]:
+        for mode in ("full", "noinv", "nodot"):
+            def fn(args, mode=mode):
+                ax, ak = args
+                return conv3d_wino4(ax, ak, lt=8, th=8, ablate=mode)
+            try:
+                dt = timed_loop(fn, (xx, kk), n_iters=10)
+                print(f"wino4 dec3_conv1 {dlabel} [{mode}]: "
+                      f"{dt*1e3:.2f} ms", flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"wino4 {dlabel} [{mode}]: FAILED "
+                      f"{type(e).__name__}: {str(e)[:160]}", flush=True)
+
+
+PROBES["wino_ablate"] = probe_wino_ablate
+
+
+def probe_sampler_strategies():
+    """On-chip sampler time per 16-frame window for each additional-event
+    strategy. 'random' (reference LDATI.py:173-174) historically ran the
+    v2 sort/gather path (~10-60x the v3 primitives); round 4 put it on
+    the v3 compactor in two-word form — this probe records the gap that
+    remains vs 'slope' (the product default)."""
+    from v2ce_toolbox_tpu.config import SamplerConfig
+    from v2ce_toolbox_tpu.ops.ldati import sample_events
+
+    scfg = SamplerConfig()
+    rng = np.random.RandomState(0)
+    x = jnp.asarray((rng.rand(16, 260, 346, 20) < 0.1).astype(np.float32)
+                    * rng.rand(16, 260, 346, 20).astype(np.float32) * 4)
+
+    for strategy in ("none", "slope", "random"):
+        def fn(args, strategy=strategy):
+            xx, = args
+            v = jnp.transpose(xx, (0, 3, 1, 2)).reshape(16, 2, 10, 260, 346)
+            s = sample_events(
+                v, jax.random.key(0), fps=30,
+                additional_events_strategy=strategy,
+                max_events_per_voxel=scfg.max_events_per_voxel,
+                capacity=scfg.event_capacity)
+            return (s.count.sum() + (s.t_us % 97).sum()
+                    + s.x.astype(jnp.int32).sum())
+
+        dt = timed_loop(fn, (x,), n_iters=10)
+        print(f"sampler strategy={strategy}: {dt*1e3:.2f} ms / 16 frames",
+              flush=True)
+
+
+PROBES["sampler_strategies"] = probe_sampler_strategies
+
+
 if __name__ == "__main__":
     from v2ce_toolbox_tpu.utils.jax_setup import enable_compilation_cache
 
