@@ -33,7 +33,11 @@ def base_setup():
     {"conv_impl": "fold"},
     {"conv_impl": "d2"},
     {"decoder_split": True, "out_layout": "cm", "conv_impl": "fold"},
-], ids=["split", "cm", "fold", "d2", "all"])
+    {"subpixel_decoder": True, "subpixel_impl": "split"},
+    {"subpixel_decoder": True, "subpixel_impl": "wfold"},
+    {"subpixel_decoder": True, "subpixel_impl": "pfold"},
+], ids=["split", "cm", "fold", "d2", "all", "sp-split", "sp-wfold",
+        "sp-pfold"])
 def test_rewrite_matches_baseline(base_setup, kw):
     x, variables, y_base = base_setup
     model = V2ce3d(config=ModelConfig(**kw))

@@ -57,6 +57,14 @@ class ModelConfig:
     # (3,2,2) convs + parity interleave worse than one big conv despite
     # the FLOP cut (tools/perf_probe.py model, round 2).
     subpixel_decoder: bool = False
+    # Which sub-pixel formulation the decoder blocks use when
+    # subpixel_decoder is on (ops/subpixel.py): 'split' = four folded
+    # (3,2,2) convs (4/9 FLOPs, 25% MXU lane fill — the round-2 loser),
+    # 'wfold' = W parity in cout (2/3 FLOPs, 50% fill, free W
+    # interleave), 'pfold' = both parities in cout (direct dot volume on
+    # the coarse grid at FULL lane fill, no upsample/concat
+    # materialization, interleave = one small transpose).
+    subpixel_impl: str = "pfold"
     # Decoder blocks read (upsampled, skip) as two tensors and slice the
     # conv1/projection kernels across the halves instead of materializing
     # the 1.5x-channel concat (same parameter tree; float-reassociation

@@ -550,6 +550,7 @@ class DecoderResidualBlock3D(nn.Module):
     sn: bool = False
     compute_dtype: Dtype = jnp.float32
     conv_impl: str = "xla"
+    subpixel_impl: str = "split"       # 'split' | 'wfold' | 'pfold'
 
     @nn.compact
     def __call__(self, coarse: jax.Array, skip: jax.Array,
@@ -557,7 +558,13 @@ class DecoderResidualBlock3D(nn.Module):
         from v2ce_toolbox_tpu.ops.subpixel import (
             conv1x1_on_nearest_up2,
             conv3d_on_nearest_up2,
+            conv3d_on_nearest_up2_pfold,
+            conv3d_on_nearest_up2_wfold,
         )
+
+        conv_up = {"split": conv3d_on_nearest_up2,
+                   "wfold": conv3d_on_nearest_up2_wfold,
+                   "pfold": conv3d_on_nearest_up2_pfold}[self.subpixel_impl]
 
         up_c = coarse.shape[-1]
         in_ch = up_c + skip.shape[-1]
@@ -570,8 +577,7 @@ class DecoderResidualBlock3D(nn.Module):
                                kernel_size=(3, 3, 3), in_channels=in_ch,
                                use_bias=use_bias)()
         k1 = k1.astype(cd)
-        out = conv3d_on_nearest_up2(coarse.astype(cd), k1[..., :up_c, :],
-                                    target_hw)
+        out = conv_up(coarse.astype(cd), k1[..., :up_c, :], target_hw)
         out = out + _apply_conv(skip, k1[..., up_c:, :], (1, 1, 1),
                                 ((1, 1),) * 3, cd, self.conv_impl)
         if use_bias:

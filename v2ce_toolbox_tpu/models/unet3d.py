@@ -45,6 +45,7 @@ class UNet3D(nn.Module):
     remat: bool = False
     conv_impl: str = "xla"
     subpixel_decoder: bool = False
+    subpixel_impl: str = "pfold"
     decoder_split: bool = False
     out_layout: str = "cl"             # 'cl' | 'cm' (see ModelConfig)
 
@@ -92,7 +93,8 @@ class UNet3D(nn.Module):
                 x = DecBlock(name=f"decoder_{i}",
                              features=max_ch // (2 ** (i + 1)),
                              norm=self.norm, sn=self.sn,
-                             compute_dtype=cd, conv_impl=ci)(x, skip, train)
+                             compute_dtype=cd, conv_impl=ci,
+                             subpixel_impl=self.subpixel_impl)(x, skip, train)
                 continue
             x = upsample_nearest_to(x, (th, tw))
             if self.skip_type != "concat":

@@ -42,6 +42,7 @@ class V2ce3d(nn.Module):
             remat=cfg.remat,
             conv_impl=cfg.conv_impl,
             subpixel_decoder=cfg.subpixel_decoder,
+            subpixel_impl=cfg.subpixel_impl,
             decoder_split=cfg.decoder_split,
             out_layout=cfg.out_layout,
         )(x, train=train)
