@@ -1590,6 +1590,40 @@ def probe_model_variants():
 PROBES["model_variants"] = probe_model_variants
 
 
+def probe_subpixel_variants():
+    """In-model A/B of the round-4 sub-pixel decoder reformulations
+    (ops/subpixel.py): split (round-2 loser), wfold (W parity in cout),
+    pfold (both parities in cout, one full-fill conv on the coarse
+    grid). Driver-style channel-major output like model_variants."""
+    from v2ce_toolbox_tpu.config import ModelConfig
+    from v2ce_toolbox_tpu.models import V2ce3d
+
+    h, w = 260, 346
+    x = jnp.asarray(np.random.RandomState(0)
+                    .rand(1, 16, h, w, 2).astype(np.float32))
+
+    variants = [
+        ("base", {}),
+        ("sp-pfold", {"subpixel_decoder": True, "subpixel_impl": "pfold"}),
+        ("sp-wfold", {"subpixel_decoder": True, "subpixel_impl": "wfold"}),
+        ("sp-split", {"subpixel_decoder": True, "subpixel_impl": "split"}),
+    ]
+    for name, kw in variants:
+        model = V2ce3d(config=ModelConfig(compute_dtype=jnp.bfloat16, **kw))
+        variables = model.init(jax.random.key(0), x[:, :3], train=False)
+
+        def fn(xx, _model=model, _v=variables):
+            y = _model.apply(_v, xx, train=False)
+            return jnp.transpose(y, (0, 1, 4, 2, 3))
+
+        dt = timed_loop(fn, x, n_iters=10)
+        print(f"subpixel_variant[{name}]: {dt*1e3:.2f} ms/window "
+              f"({16/dt:.1f} fps)", flush=True)
+
+
+PROBES["subpixel_variants"] = probe_subpixel_variants
+
+
 def probe_winograd():
     """Winograd F(2x2,3x3) (XLA formulation, ops/winograd.py) vs direct
     XLA conv on the fill-bound stride-1 model layers — measures whether
