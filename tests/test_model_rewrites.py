@@ -36,8 +36,12 @@ def base_setup():
     {"subpixel_decoder": True, "subpixel_impl": "split"},
     {"subpixel_decoder": True, "subpixel_impl": "wfold"},
     {"subpixel_decoder": True, "subpixel_impl": "pfold"},
+    {"subpixel_decoder": True, "subpixel_impl": "pfold",
+     "subpixel_blocks": 1},
+    {"subpixel_decoder": True, "subpixel_impl": "wfold",
+     "subpixel_blocks": 2},
 ], ids=["split", "cm", "fold", "d2", "all", "sp-split", "sp-wfold",
-        "sp-pfold"])
+        "sp-pfold", "sp-pfold-last1", "sp-wfold-last2"])
 def test_rewrite_matches_baseline(base_setup, kw):
     x, variables, y_base = base_setup
     model = V2ce3d(config=ModelConfig(**kw))

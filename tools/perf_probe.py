@@ -1607,6 +1607,20 @@ def probe_subpixel_variants():
         ("sp-pfold", {"subpixel_decoder": True, "subpixel_impl": "pfold"}),
         ("sp-wfold", {"subpixel_decoder": True, "subpixel_impl": "wfold"}),
         ("sp-split", {"subpixel_decoder": True, "subpixel_impl": "split"}),
+        # pfold ONLY on the fill-bound top-resolution blocks — the deep
+        # blocks run the direct conv at 160-177 TF/s already, so
+        # all-blocks measurements conflate a dec3/dec2 win with a
+        # dec0/dec1 regression (fused_geometry probe: the coarse-grid
+        # conv geometry itself runs at 57-78 TF/s)
+        ("sp-pfold-last1", {"subpixel_decoder": True,
+                            "subpixel_impl": "pfold",
+                            "subpixel_blocks": 1}),
+        ("sp-pfold-last2", {"subpixel_decoder": True,
+                            "subpixel_impl": "pfold",
+                            "subpixel_blocks": 2}),
+        ("sp-wfold-last2", {"subpixel_decoder": True,
+                            "subpixel_impl": "wfold",
+                            "subpixel_blocks": 2}),
     ]
     for name, kw in variants:
         model = V2ce3d(config=ModelConfig(compute_dtype=jnp.bfloat16, **kw))
@@ -1622,6 +1636,61 @@ def probe_subpixel_variants():
 
 
 PROBES["subpixel_variants"] = probe_subpixel_variants
+
+
+def probe_fused_geometry():
+    """Decide the fused Pallas decoder block (VERDICT item 2b) with the
+    cheapest possible measurement: the fused kernel's inner loop IS a
+    3x3x3 conv at COARSE-grid spatial size with full-lane channel counts
+    (coarse + parity-blocked skip in K, 4*Co parity blocks in N). Time
+    the existing Pallas implicit-GEMM kernel (ops/conv3d_pallas.py) and
+    XLA's conv at exactly those geometries; the achieved TF/s sets the
+    fused kernel's ceiling before any fusion work is done.
+
+    To beat: the XLA direct path = dec3/conv1 7.81 ms + dec2/conv1
+    3.97 ms + their upsample/concat copy share (~3-5 ms) — PERF.md
+    round-3 roofline rows."""
+    from v2ce_toolbox_tpu.ops.conv3d_pallas import conv3d_3x3x3
+
+    # (name, hc, wc, K_slab, N_out): dec3 fused = coarse 130x173,
+    # slab-A form K=128 (Cu 64 + skip a=1 blocks) and dense one-slab
+    # K=256 (Cu pad + 4*Cs); dec2 fused = coarse 65x87, K=384
+    # (Cu 128 + 4*Cs 256), N=4*Co=256.
+    geoms = [
+        ("dec3_fused_slabA", 130, 173, 128, 128),
+        ("dec3_fused_dense", 130, 173, 256, 128),
+        ("dec2_fused_dense", 65, 87, 384, 256),
+    ]
+    rng = np.random.RandomState(0)
+    for name, h, w, cin, cout in geoms:
+        flops = 2 * 16 * h * w * cin * cout * 27
+        x = jnp.asarray(rng.rand(1, 16, h, w, cin)
+                        .astype(np.float32)).astype(jnp.bfloat16)
+        k = jnp.asarray((rng.rand(3, 3, 3, cin, cout) * 0.01)
+                        .astype(np.float32)).astype(jnp.bfloat16)
+
+        def fn_pallas(args):
+            xx, kk = args
+            return conv3d_3x3x3(xx, kk, out_dtype=jnp.bfloat16)
+
+        def fn_xla(args):
+            xx, kk = args
+            return lax.conv_general_dilated(
+                xx, kk, (1, 1, 1), [(1, 1)] * 3,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+        for impl, fn in [("pallas", fn_pallas), ("xla", fn_xla)]:
+            try:
+                t = timed_loop(fn, (x, k), n_iters=10)
+                print(f"fused_geom {name} {impl}: {t*1e3:.2f} ms  "
+                      f"{flops/t/1e12:.1f} TF/s", flush=True)
+            except Exception as e:
+                print(f"fused_geom {name} {impl}: FAILED "
+                      f"{type(e).__name__}: {e}", flush=True)
+
+
+PROBES["fused_geometry"] = probe_fused_geometry
 
 
 def probe_winograd():

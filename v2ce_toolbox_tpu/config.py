@@ -65,6 +65,14 @@ class ModelConfig:
     # the coarse grid at FULL lane fill, no upsample/concat
     # materialization, interleave = one small transpose).
     subpixel_impl: str = "pfold"
+    # How many decoder blocks (counted from the HIGHEST resolution, i.e.
+    # the end of the decoder stack) use the sub-pixel rewrite when
+    # subpixel_decoder is on; -1 = all. The deep decoder blocks already
+    # run at 160-177 TF/s with the direct conv (PERF.md roofline) — only
+    # the top-resolution, MXU-fill-bound blocks (decoder_2/decoder_3)
+    # can gain from the coarse-grid reformulation, whose conv geometry
+    # measures 57-78 TF/s (tools/perf_probe.py fused_geometry).
+    subpixel_blocks: int = -1
     # Decoder blocks read (upsampled, skip) as two tensors and slice the
     # conv1/projection kernels across the halves instead of materializing
     # the 1.5x-channel concat (same parameter tree; float-reassociation

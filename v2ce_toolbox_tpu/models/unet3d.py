@@ -46,6 +46,7 @@ class UNet3D(nn.Module):
     conv_impl: str = "xla"
     subpixel_decoder: bool = False
     subpixel_impl: str = "pfold"
+    subpixel_blocks: int = -1          # last N decoder blocks; -1 = all
     decoder_split: bool = False
     out_layout: str = "cl"             # 'cl' | 'cm' (see ModelConfig)
 
@@ -82,9 +83,13 @@ class UNet3D(nn.Module):
 
         DecBlock = (nn.remat(DecoderResidualBlock3D, static_argnums=(3,))
                     if self.remat else DecoderResidualBlock3D)
+        n_dec = len(skips)
         for i, skip in enumerate(reversed(skips)):
             th, tw = skip.shape[2], skip.shape[3]
-            if (self.subpixel_decoder and self.skip_type == "concat"
+            sp_block = (self.subpixel_blocks < 0
+                        or i >= n_dec - self.subpixel_blocks)
+            if (self.subpixel_decoder and sp_block
+                    and self.skip_type == "concat"
                     and th in (2 * x.shape[2], 2 * x.shape[2] - 1)
                     and tw in (2 * x.shape[3], 2 * x.shape[3] - 1)):
                 # sub-pixel decoder: conv1/projection computed on the

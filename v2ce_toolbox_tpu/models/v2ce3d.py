@@ -43,6 +43,7 @@ class V2ce3d(nn.Module):
             conv_impl=cfg.conv_impl,
             subpixel_decoder=cfg.subpixel_decoder,
             subpixel_impl=cfg.subpixel_impl,
+            subpixel_blocks=cfg.subpixel_blocks,
             decoder_split=cfg.decoder_split,
             out_layout=cfg.out_layout,
         )(x, train=train)
