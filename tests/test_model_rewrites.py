@@ -40,8 +40,10 @@ def base_setup():
      "subpixel_blocks": 1},
     {"subpixel_decoder": True, "subpixel_impl": "wfold",
      "subpixel_blocks": 2},
+    {"subpixel_decoder": True, "subpixel_impl": "pallas",
+     "subpixel_blocks": 2},
 ], ids=["split", "cm", "fold", "d2", "all", "sp-split", "sp-wfold",
-        "sp-pfold", "sp-pfold-last1", "sp-wfold-last2"])
+        "sp-pfold", "sp-pfold-last1", "sp-wfold-last2", "sp-pallas-last2"])
 def test_rewrite_matches_baseline(base_setup, kw):
     x, variables, y_base = base_setup
     model = V2ce3d(config=ModelConfig(**kw))
@@ -80,3 +82,8 @@ def test_train_step_rejects_pallas_only():
     with pytest.raises(ValueError, match="pallas"):
         make_train_step(V2ce3d(config=ModelConfig(conv_impl="pallas")),
                         TrainConfig())
+    with pytest.raises(ValueError, match="forward-only"):
+        make_train_step(
+            V2ce3d(config=ModelConfig(subpixel_decoder=True,
+                                      subpixel_impl="pallas")),
+            TrainConfig())

@@ -1621,6 +1621,14 @@ def probe_subpixel_variants():
         ("sp-wfold-last2", {"subpixel_decoder": True,
                             "subpixel_impl": "wfold",
                             "subpixel_blocks": 2}),
+        # the fused Pallas decoder kernel (ops/decoder_pallas.py) on the
+        # two top-resolution blocks only
+        ("sp-pallas-last2", {"subpixel_decoder": True,
+                             "subpixel_impl": "pallas",
+                             "subpixel_blocks": 2}),
+        ("sp-pallas-last1", {"subpixel_decoder": True,
+                             "subpixel_impl": "pallas",
+                             "subpixel_blocks": 1}),
     ]
     for name, kw in variants:
         model = V2ce3d(config=ModelConfig(compute_dtype=jnp.bfloat16, **kw))
@@ -1691,6 +1699,155 @@ def probe_fused_geometry():
 
 
 PROBES["fused_geometry"] = probe_fused_geometry
+
+
+def probe_fused_dec():
+    """The REAL fused Pallas decoder conv (ops/decoder_pallas.py) vs the
+    direct XLA path (upsample + concat + conv3d) at the model's dec3/dec2
+    conv1 shapes, bf16. Also times the pieces the fused kernel absorbs
+    (upsample+concat alone) so the net win decomposes."""
+    from v2ce_toolbox_tpu.models.layers import upsample_nearest_to
+    from v2ce_toolbox_tpu.ops.decoder_pallas import fused_up_concat_conv
+
+    geoms = [
+        # with_proj: dec3 (Co=32) folds the residual 1x1 projection into
+        # the same dots (fills N to 128); dec2 (Co=64) is full-N already
+        ("dec3", 130, 173, 260, 346, 64, 32, 32, True),
+        ("dec2", 65, 87, 130, 173, 128, 64, 64, False),
+    ]
+    rng = np.random.RandomState(0)
+    for name, hc, wc, hf, wf, cu, cs, co, with_proj in geoms:
+        coarse = jnp.asarray(rng.rand(1, 16, hc, wc, cu)
+                             .astype(np.float32)).astype(jnp.bfloat16)
+        skip = jnp.asarray(rng.rand(1, 16, hf, wf, cs)
+                           .astype(np.float32)).astype(jnp.bfloat16)
+        k = jnp.asarray((rng.rand(3, 3, 3, cu + cs, co) * 0.02)
+                        .astype(np.float32)).astype(jnp.bfloat16)
+        kd = (jnp.asarray((rng.rand(1, 1, 1, cu + cs, co) * 0.02)
+                          .astype(np.float32)).astype(jnp.bfloat16)
+              if with_proj else None)
+        # useful-work FLOPs (fine grid, 27 taps) for both variants
+        flops = 2 * 16 * hf * wf * (cu + cs) * co * (27 + with_proj)
+
+        def fn_direct(args):
+            c, s, kk, kkd = args
+            up = upsample_nearest_to(c, (s.shape[2], s.shape[3]))
+            x = jnp.concatenate([up, s], axis=-1)
+            y = lax.conv_general_dilated(
+                x, kk, (1, 1, 1), [(1, 1)] * 3,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            if kkd is None:
+                return y
+            r = lax.conv_general_dilated(
+                x, kkd, (1, 1, 1), [(0, 0)] * 3,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            return y, r
+
+        def fn_upconcat(args):
+            c, s, _, _ = args
+            up = upsample_nearest_to(c, (s.shape[2], s.shape[3]))
+            return jnp.concatenate([up, s], axis=-1)
+
+        def fn_fused(args):
+            c, s, kk, kkd = args
+            return fused_up_concat_conv(c, s, kk, kkd,
+                                        out_dtype=jnp.bfloat16)
+
+        def fn_fused_k64(args):
+            # K padded to 192 instead of 256 (dec3): 25% fewer executed
+            # MACs if Mosaic runs 1.5-lane-tile slabs at full rate
+            c, s, kk, kkd = args
+            return fused_up_concat_conv(c, s, kk, kkd,
+                                        out_dtype=jnp.bfloat16,
+                                        k_align=64)
+
+        args = (coarse, skip, k, kd)
+        variants = [("direct", fn_direct), ("up+concat", fn_upconcat),
+                    ("fused", fn_fused)]
+        if (cu + 4 * cs) % 128:
+            variants.append(("fused-k64", fn_fused_k64))
+        for impl, fn in variants:
+            try:
+                t = timed_loop(fn, args, n_iters=10)
+                print(f"fused_dec {name} {impl}: {t*1e3:.2f} ms  "
+                      f"{flops/t/1e12:.1f} TF/s-useful", flush=True)
+            except Exception as e:
+                print(f"fused_dec {name} {impl}: FAILED "
+                      f"{type(e).__name__}: {e}", flush=True)
+
+
+PROBES["fused_dec"] = probe_fused_dec
+
+
+def probe_int8():
+    """Does the v5e MXU's 2x int8 path show up through XLA at this
+    model's conv/dot geometries? Times int8 (preferred int32) vs bf16
+    (preferred f32) for (a) a big square matmul, (b) the model's
+    fill-bound decoder conv shapes, (c) the bottleneck 512-ch conv. If
+    int8 is ~2x on (b)/(c), a post-training-quantized stage-1 is the
+    remaining big single-chip lever; if only (a) speeds up, the
+    fill-bound layers gain nothing and the idea is dead."""
+    rng = np.random.RandomState(0)
+
+    def mk_i8(*shape):
+        return jnp.asarray(rng.randint(-127, 127, shape, dtype=np.int32)
+                           .astype(np.int8))
+
+    def mk_bf(*shape):
+        return jnp.asarray(rng.rand(*shape).astype(np.float32)
+                           ).astype(jnp.bfloat16)
+
+    def perturb(args, acc):
+        # data-dependent no-op for ints too (prevents loop hoisting)
+        z = (acc * 1e-12).astype(jnp.int32)
+        return tuple(a + z.astype(a.dtype) for a in args)
+
+    # (a) square matmul 4096^3
+    for name, mk, pt in [("i8", mk_i8, jnp.int32), ("bf16", mk_bf,
+                                                    jnp.float32)]:
+        a, bm = mk(4096, 4096), mk(4096, 4096)
+        flops = 2 * 4096 ** 3
+
+        def fn(args, pt=pt):
+            x, y = args
+            return jax.lax.dot_general(x, y, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=pt)
+
+        t = timed_loop(fn, (a, bm), n_iters=10, perturb=perturb)
+        print(f"int8_probe matmul4096 {name}: {t*1e3:.2f} ms "
+              f"{flops/t/1e12:.1f} T/s", flush=True)
+
+    # (b)/(c) conv shapes: (name, h, w, cin, cout)
+    geoms = [("dec3_conv1", 260, 346, 96, 32),
+             ("dec3_conv2", 260, 346, 32, 32),
+             ("enc_mid", 65, 87, 128, 256),
+             ("bottleneck", 17, 22, 512, 512)]
+    for gname, h, w, cin, cout in geoms:
+        flops = 2 * 16 * h * w * cin * cout * 27
+        for name, mk, pt in [("i8", mk_i8, jnp.int32),
+                             ("bf16", mk_bf, jnp.float32)]:
+            x = mk(1, 16, h, w, cin)
+            k = mk(3, 3, 3, cin, cout)
+
+            def fn(args, pt=pt):
+                xx, kk = args
+                return lax.conv_general_dilated(
+                    xx, kk, (1, 1, 1), [(1, 1)] * 3,
+                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                    preferred_element_type=pt)
+
+            try:
+                t = timed_loop(fn, (x, k), n_iters=10, perturb=perturb)
+                print(f"int8_probe {gname} {name}: {t*1e3:.2f} ms "
+                      f"{flops/t/1e12:.1f} T/s", flush=True)
+            except Exception as e:
+                print(f"int8_probe {gname} {name}: FAILED "
+                      f"{type(e).__name__}: {e}", flush=True)
+
+
+PROBES["int8"] = probe_int8
 
 
 def probe_winograd():

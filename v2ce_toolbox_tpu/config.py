@@ -63,7 +63,10 @@ class ModelConfig:
     # 'wfold' = W parity in cout (2/3 FLOPs, 50% fill, free W
     # interleave), 'pfold' = both parities in cout (direct dot volume on
     # the coarse grid at FULL lane fill, no upsample/concat
-    # materialization, interleave = one small transpose).
+    # materialization, interleave = one small transpose), 'pallas' =
+    # the fused Mosaic kernel (ops/decoder_pallas.py: up + concat +
+    # conv1 + residual projection in one coarse-grid kernel;
+    # forward-only).
     subpixel_impl: str = "pfold"
     # How many decoder blocks (counted from the HIGHEST resolution, i.e.
     # the end of the decoder stack) use the sub-pixel rewrite when

@@ -550,7 +550,7 @@ class DecoderResidualBlock3D(nn.Module):
     sn: bool = False
     compute_dtype: Dtype = jnp.float32
     conv_impl: str = "xla"
-    subpixel_impl: str = "split"       # 'split' | 'wfold' | 'pfold'
+    subpixel_impl: str = "split"   # 'split' | 'wfold' | 'pfold' | 'pallas'
 
     @nn.compact
     def __call__(self, coarse: jax.Array, skip: jax.Array,
@@ -561,10 +561,6 @@ class DecoderResidualBlock3D(nn.Module):
             conv3d_on_nearest_up2_pfold,
             conv3d_on_nearest_up2_wfold,
         )
-
-        conv_up = {"split": conv3d_on_nearest_up2,
-                   "wfold": conv3d_on_nearest_up2_wfold,
-                   "pfold": conv3d_on_nearest_up2_pfold}[self.subpixel_impl]
 
         up_c = coarse.shape[-1]
         in_ch = up_c + skip.shape[-1]
@@ -577,9 +573,34 @@ class DecoderResidualBlock3D(nn.Module):
                                kernel_size=(3, 3, 3), in_channels=in_ch,
                                use_bias=use_bias)()
         k1 = k1.astype(cd)
-        out = conv_up(coarse.astype(cd), k1[..., :up_c, :], target_hw)
-        out = out + _apply_conv(skip, k1[..., up_c:, :], (1, 1, 1),
-                                ((1, 1),) * 3, cd, self.conv_impl)
+
+        kd, bias_d = _ConvKernel(name="downsample_conv",
+                                 features=self.features,
+                                 kernel_size=(1, 1, 1), in_channels=in_ch,
+                                 use_bias=True)()
+        kd = kd.astype(cd)
+        fused_residual = None
+        if self.subpixel_impl == "pallas":
+            # fused Pallas kernel: up + concat + conv1 on the coarse grid;
+            # the residual projection rides the same dots when its N lanes
+            # fit (Co <= 32). Forward-only (guarded in train/step.py).
+            from v2ce_toolbox_tpu.ops.decoder_pallas import (
+                fused_up_concat_conv)
+            if 4 * self.features <= 128:
+                out, fused_residual = fused_up_concat_conv(
+                    coarse.astype(cd), skip.astype(cd), k1, kd,
+                    out_dtype=cd)
+            else:
+                out = fused_up_concat_conv(
+                    coarse.astype(cd), skip.astype(cd), k1, out_dtype=cd)
+        else:
+            conv_up = {
+                "split": conv3d_on_nearest_up2,
+                "wfold": conv3d_on_nearest_up2_wfold,
+                "pfold": conv3d_on_nearest_up2_pfold}[self.subpixel_impl]
+            out = conv_up(coarse.astype(cd), k1[..., :up_c, :], target_hw)
+            out = out + _apply_conv(skip, k1[..., up_c:, :], (1, 1, 1),
+                                    ((1, 1),) * 3, cd, self.conv_impl)
         if use_bias:
             out = out + bias1
         if self.norm in ("BN", "IN"):
@@ -594,17 +615,16 @@ class DecoderResidualBlock3D(nn.Module):
         if self.norm in ("BN", "IN"):
             out = BatchNorm(name="bn2", compute_dtype=cd)(out, train=train)
 
-        kd, bias_d = _ConvKernel(name="downsample_conv",
-                                 features=self.features,
-                                 kernel_size=(1, 1, 1), in_channels=in_ch,
-                                 use_bias=True)()
-        kd = kd.astype(cd)
-        residual = conv1x1_on_nearest_up2(coarse.astype(cd),
-                                          kd[..., :up_c, :], target_hw)
-        residual = residual + jax.lax.conv_general_dilated(
-            skip.astype(cd), kd[..., up_c:, :], (1, 1, 1), ((0, 0),) * 3,
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            preferred_element_type=jnp.float32) + bias_d
+        if fused_residual is not None:
+            residual = fused_residual + bias_d
+        else:
+            residual = conv1x1_on_nearest_up2(coarse.astype(cd),
+                                              kd[..., :up_c, :], target_hw)
+            residual = residual + jax.lax.conv_general_dilated(
+                skip.astype(cd), kd[..., up_c:, :], (1, 1, 1),
+                ((0, 0),) * 3,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                preferred_element_type=jnp.float32) + bias_d
         residual = BatchNorm(name="downsample_bn",
                              compute_dtype=cd)(residual, train=train)
 

@@ -72,10 +72,16 @@ def make_train_step(
     matching auxiliary outputs. When `mesh` is given the step is jitted with
     batch sharded over 'data' and state replicated.
     """
-    if getattr(getattr(model, "config", None), "conv_impl", "xla") == "pallas":
+    mcfg = getattr(model, "config", None)
+    if getattr(mcfg, "conv_impl", "xla") == "pallas":
         raise ValueError(
             "conv_impl='pallas' is forward-only (no custom VJP); "
             "use conv_impl='xla' for training")
+    if (getattr(mcfg, "subpixel_decoder", False)
+            and getattr(mcfg, "subpixel_impl", "") == "pallas"):
+        raise ValueError(
+            "subpixel_impl='pallas' (fused decoder kernel) is forward-only; "
+            "use an XLA subpixel_impl or subpixel_decoder=False for training")
     loss_names = tuple(cfg.loss.split("+"))
     tx = make_optimizer(cfg, steps_per_epoch)
     disc_tx = make_disc_optimizer() if disc is not None else None
