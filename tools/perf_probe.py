@@ -1646,6 +1646,43 @@ def probe_subpixel_variants():
 PROBES["subpixel_variants"] = probe_subpixel_variants
 
 
+def probe_pallas_model():
+    """In-model A/B of the fused Pallas decoder block (subpixel_impl=
+    'pallas'): base direct schedule vs fusing the last 1 / last 2 decoder
+    blocks. Full V2ce3d forward, bf16, driver-style output."""
+    from v2ce_toolbox_tpu.config import ModelConfig
+    from v2ce_toolbox_tpu.models import V2ce3d
+
+    h, w = 260, 346
+    x = jnp.asarray(np.random.RandomState(0)
+                    .rand(1, 16, h, w, 2).astype(np.float32))
+    variants = [
+        ("base", {}),
+        ("pallas-last1", {"subpixel_decoder": True,
+                          "subpixel_impl": "pallas",
+                          "subpixel_blocks": 1}),
+        ("pallas-last2", {"subpixel_decoder": True,
+                          "subpixel_impl": "pallas",
+                          "subpixel_blocks": 2}),
+    ]
+    variables = None
+    for name, kw in variants:
+        model = V2ce3d(config=ModelConfig(compute_dtype=jnp.bfloat16, **kw))
+        if variables is None:
+            variables = model.init(jax.random.key(0), x[:, :3], train=False)
+
+        def fn(xx, model=model):
+            y = model.apply(variables, xx, train=False)
+            return jnp.transpose(y, (0, 1, 4, 2, 3))
+
+        dt = timed_loop(fn, x, n_iters=10)
+        print(f"pallas_model {name}: {dt*1e3:.2f} ms/window "
+              f"({16/dt:.1f} fps)", flush=True)
+
+
+PROBES["pallas_model"] = probe_pallas_model
+
+
 def probe_fused_geometry():
     """Decide the fused Pallas decoder block (VERDICT item 2b) with the
     cheapest possible measurement: the fused kernel's inner loop IS a
