@@ -91,8 +91,13 @@ def main():
               flush=True)
 
 
-def device_bench():
-    """In-process device pipeline benchmark; prints the headline JSON."""
+def device_bench(bf16: bool = False):
+    """In-process device pipeline benchmark; prints the headline JSON.
+
+    bf16=False is the contract headline (BASELINE.md fidelity gate binds
+    per-voxel counts to the f32 torch reference); bf16=True measures the
+    TPU production inference config (`v2ce.py --bf16`) and tags the JSON
+    with "dtype" so the two records never get conflated."""
     import numpy as np
 
     import jax
@@ -108,7 +113,8 @@ def device_bench():
 
     seq_len, h, w = 16, 260, 346
     scfg = SamplerConfig()
-    model = V2ce3d(config=ModelConfig())
+    model = V2ce3d(config=ModelConfig(
+        compute_dtype=jnp.bfloat16 if bf16 else jnp.float32))
     rng = np.random.RandomState(0)
     frames0 = jnp.asarray(rng.rand(1, seq_len + 1, h, w).astype(np.float32))
     variables = model.init(jax.random.key(0),
@@ -197,6 +203,7 @@ def device_bench():
         "value": round(frames_per_sec, 2),
         "unit": "frames/s",
         "vs_baseline": round(frames_per_sec / 300.0, 4),
+        **({"dtype": "bf16"} if bf16 else {}),
         **stage1,
     }), flush=True)
 
@@ -259,6 +266,6 @@ def cli_wall_clock(num_frames: int = 321, budget_s: float = 1e9) -> float:
 
 if __name__ == "__main__":
     if "--device-only" in sys.argv[1:]:
-        device_bench()
+        device_bench(bf16="--bf16" in sys.argv[1:])
     else:
         main()

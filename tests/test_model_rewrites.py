@@ -87,3 +87,30 @@ def test_train_step_rejects_pallas_only():
             V2ce3d(config=ModelConfig(subpixel_decoder=True,
                                       subpixel_impl="pallas")),
             TrainConfig())
+
+
+def test_bf16_inference_path(base_setup):
+    """The production TPU inference config (v2ce.py --bf16): same params,
+    bf16 compute. Guards (a) that compute_dtype threads through BN (flax
+    BatchNorm(dtype=f32) silently pins activations to f32 — round-2
+    finding), and (b) that bf16 outputs track f32 within bf16 rounding
+    at model scale (the fidelity contract's stage-1 half; the on-chip
+    fidelity record is PERF.md's bf16_fidelity probe)."""
+    x, variables, y_base = base_setup
+    model = V2ce3d(config=ModelConfig(compute_dtype=jnp.bfloat16))
+
+    # the activations must actually BE bf16 (BN not silently upcasting):
+    # check an intermediate by capturing the decoder input dtype via a
+    # bf16-only failure mode — cheaper: assert the output dtype is f32
+    # (final cast) while an f32-pinned model would differ from the
+    # genuine bf16 one; compare against an explicit f32 run instead.
+    y = model.apply(variables, x, train=False)
+    assert y.dtype == y_base.dtype  # output contract unchanged
+
+    err = float(jnp.abs(y.astype(jnp.float32) - y_base).max())
+    scale = float(jnp.abs(y_base).max())
+    # bf16 has ~3 decimal digits; allow accumulated rounding at depth-10
+    assert err <= 0.05 * scale + 1e-3, (err, scale)
+    # and it must NOT be bit-identical to f32 (that would mean the
+    # compute dtype silently never applied)
+    assert err > 0.0

@@ -2062,6 +2062,71 @@ def probe_sampler_strategies():
 PROBES["sampler_strategies"] = probe_sampler_strategies
 
 
+def probe_bf16_fidelity():
+    """Fidelity of the bf16 production inference config vs the f32
+    contract config: same params, same frames, same sampler key. Reports
+    the repo's own stage-1 quality metrics (BASELINE.md rows — treating
+    the f32 forward as GT) plus downstream event-count ratio and
+    timestamp KS between the two sampled streams."""
+    from v2ce_toolbox_tpu.config import ModelConfig, SamplerConfig
+    from v2ce_toolbox_tpu.models import V2ce3d
+    from v2ce_toolbox_tpu.ops.ldati import sample_events
+    from v2ce_toolbox_tpu.pipeline.preprocess import normalize_pairs
+    from v2ce_toolbox_tpu.train import metrics as tm
+
+    seq_len, h, w = 16, 260, 346
+    scfg = SamplerConfig()
+    rng = np.random.RandomState(0)
+    frames = jnp.asarray(rng.rand(1, seq_len + 1, h, w).astype(np.float32))
+    units = normalize_pairs(frames)
+
+    preds = {}
+    variables = None
+    for name, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        model = V2ce3d(config=ModelConfig(compute_dtype=dt))
+        if variables is None:
+            variables = model.init(jax.random.key(0), units[:, :3],
+                                   train=False)
+        preds[name] = np.asarray(jax.jit(
+            lambda u, m=model: m.apply(variables, u, train=False)
+        )(units), dtype=np.float32)
+
+    p, g = jnp.asarray(preds["bf16"]), jnp.asarray(preds["f32"])
+    print(f"bf16_fidelity voxel MAE {float(jnp.abs(p - g).mean()):.3e} "
+          f"(f32 mean {float(jnp.abs(g).mean()):.3e}); "
+          f"BinaryMatch raw {float(tm.binary_match(p, g, 'raw')):.6f}  "
+          f"F1 sum_c {float(tm.binary_match_f1(p, g, 'sum_c')):.6f}  "
+          f"PoolMSE k2 {float(tm.pool_mse(p, g, 2)):.3e}", flush=True)
+
+    streams = {}
+    for name in ("f32", "bf16"):
+        v = jnp.transpose(jnp.asarray(preds[name][0]), (0, 3, 1, 2)
+                          ).reshape(seq_len, 2, 10, h, w)
+        s = jax.jit(lambda vv: sample_events(
+            vv, jax.random.key(7), fps=30,
+            additional_events_strategy=scfg.additional_events_strategy,
+            max_events_per_voxel=scfg.max_events_per_voxel,
+            capacity=scfg.event_capacity))(v)
+        cnt = np.asarray(s.count)
+        t = np.concatenate([np.asarray(s.t_us[i])[:cnt[i]]
+                            for i in range(seq_len)])
+        streams[name] = t
+    n_f, n_b = len(streams["f32"]), len(streams["bf16"])
+    ks = float(np.abs(
+        np.searchsorted(np.sort(streams["f32"]),
+                        np.sort(np.concatenate(list(streams.values()))),
+                        side="right") / max(n_f, 1)
+        - np.searchsorted(np.sort(streams["bf16"]),
+                          np.sort(np.concatenate(list(streams.values()))),
+                          side="right") / max(n_b, 1)).max())
+    print(f"bf16_fidelity events f32 {n_f}  bf16 {n_b}  "
+          f"count ratio {n_b / max(n_f, 1):.5f}  timestamp KS {ks:.5f}",
+          flush=True)
+
+
+PROBES["bf16_fidelity"] = probe_bf16_fidelity
+
+
 if __name__ == "__main__":
     from v2ce_toolbox_tpu.utils.jax_setup import enable_compilation_cache
 
