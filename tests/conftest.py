@@ -54,3 +54,21 @@ def load_reference_module(relpath: str, name: str):
     sys.modules[name] = module
     spec.loader.exec_module(module)
     return module
+
+
+# ---------------------------------------------------------------------------
+# JIT-executable hygiene: the full suite compiles thousands of XLA:CPU
+# programs in one process; around ~160 tests in, the accumulated JIT code
+# mappings crash the compiler itself (SIGSEGV inside
+# backend_compile_and_load — reproduced twice at different tests, each
+# passing in isolation; host RAM was 90% free, so it is mapping/code-space
+# exhaustion, not OOM). Dropping compiled-executable references between
+# test MODULES caps the growth; cross-module shared jits are rare, so the
+# recompile cost is small.
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    yield
+    jax.clear_caches()
