@@ -53,46 +53,53 @@ def main():
     def remaining():
         return BUDGET_S - (time.time() - t_start)
 
-    # 1. Device headline (subprocess; parent stays off the TPU tunnel).
+    # 1. Device records (ONE subprocess; parent stays off the TPU tunnel).
+    # The child prints the guaranteed f32 contract headline first, then a
+    # best-effort bf16 production-config record (tagged "dtype": "bf16";
+    # fidelity record: PERF.md bf16_fidelity). Both dtypes share one
+    # process because the per-process warm cost through the tunnel is
+    # ~200 s EVEN ON COMPILE-CACHE HITS (measured round 4) — two separate
+    # subprocesses cannot fit the 540 s budget, while the shared sampler
+    # executable makes the bf16 add-on ~100 s. The parent STREAMS child
+    # stdout so the f32 line survives even if the bf16 tail is killed.
     headline = None
-    try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--device-only"],
-            capture_output=True, text=True,
-            timeout=min(420.0, remaining() - 5))
-        for line in proc.stdout.splitlines():
-            line = line.strip()
-            if line.startswith("{"):
+    child = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__),
+         "--device-only", "--with-bf16"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+    deadline = t_start + min(BUDGET_S - 60.0, 480.0)
+    import selectors
+    sel = selectors.DefaultSelector()
+    sel.register(child.stdout, selectors.EVENT_READ)
+    n_records = 0
+    while child.poll() is None and time.time() < deadline:
+        if not sel.select(timeout=1.0):
+            continue
+        line = child.stdout.readline()
+        if not line:
+            break
+        line = line.strip()
+        if line.startswith("{"):
+            print(line, flush=True)           # forward the instant it lands
+            if headline is None:
                 headline = json.loads(line)
-        if headline is None:
-            print(f"# device bench emitted no JSON (rc={proc.returncode}):"
-                  f" {proc.stderr[-2000:]}", file=sys.stderr)
-    except subprocess.TimeoutExpired as e:
-        print(f"# device bench timed out: {e}", file=sys.stderr)
+            n_records += 1
+            if n_records >= 2:
+                break  # both records in; don't wait out client teardown
+    if child.poll() is None:
+        child.kill()
+        if n_records < 2:
+            print("# device bench killed at deadline (records so far kept)",
+                  file=sys.stderr)
     if headline is None:
+        print(f"# device bench emitted no JSON (rc={child.returncode})",
+              file=sys.stderr)
         # Emit a parseable failure record rather than nothing.
-        headline = {"metric": "e2e_frames_per_sec_per_chip", "value": None,
-                    "unit": "frames/s", "vs_baseline": None}
-    print(json.dumps(headline), flush=True)
+        print(json.dumps(
+            {"metric": "e2e_frames_per_sec_per_chip", "value": None,
+             "unit": "frames/s", "vs_baseline": None}), flush=True)
 
-    # 2. bf16 production config (best-effort second record; self-contained
-    # and tagged "dtype": "bf16" so it can never be mistaken for the f32
-    # contract headline). Fidelity record: PERF.md bf16_fidelity.
-    try:
-        if remaining() > 200:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--device-only", "--bf16"],
-                capture_output=True, text=True,
-                timeout=remaining() - 130)
-            for line in proc.stdout.splitlines():
-                line = line.strip()
-                if line.startswith("{"):
-                    print(line, flush=True)
-    except subprocess.TimeoutExpired:
-        print("# bf16 bench timed out (best-effort)", file=sys.stderr)
-
-    # 3. CLI wall clock (best-effort; the headline is already out).
+    # 2. CLI wall clock (best-effort; the headline is already out).
     cli_fps = None
     try:
         if remaining() > 120:
@@ -108,13 +115,19 @@ def main():
               flush=True)
 
 
-def device_bench(bf16: bool = False):
+def device_bench(bf16: bool = False, mfu: bool = True,
+                 with_bf16: bool = False):
     """In-process device pipeline benchmark; prints the headline JSON.
 
     bf16=False is the contract headline (BASELINE.md fidelity gate binds
     per-voxel counts to the f32 torch reference); bf16=True measures the
     TPU production inference config (`v2ce.py --bf16`) and tags the JSON
-    with "dtype" so the two records never get conflated."""
+    with "dtype" so the two records never get conflated. with_bf16=True
+    (--with-bf16) prints the f32 record first, then the bf16 record from
+    the SAME process — the sampler executable is dtype-independent and
+    per-process warm costs ~200 s through the tunnel even on compile-cache
+    hits, so sharing the process is what lets both records fit the driver
+    budget (round-4 measurement)."""
     import numpy as np
 
     import jax
@@ -130,24 +143,9 @@ def device_bench(bf16: bool = False):
 
     seq_len, h, w = 16, 260, 346
     scfg = SamplerConfig()
-    model = V2ce3d(config=ModelConfig(
-        compute_dtype=jnp.bfloat16 if bf16 else jnp.float32))
     rng = np.random.RandomState(0)
     frames0 = jnp.asarray(rng.rand(1, seq_len + 1, h, w).astype(np.float32))
-    variables = model.init(jax.random.key(0),
-                           frames0[:, :3, :, :, None].repeat(2, -1),
-                           train=False)
-
-    # Driver-style execution: forward and sampler as SEPARATE jits with
-    # async chained dispatches and one final fetch — how the real pipeline
-    # runs. (Fusing both into one jit measured 136 ms/window vs the 82 ms
-    # sum of parts — an XLA layout-assignment pathology, PERF.md round 3;
-    # separate dispatches queue server-side so the timing stays valid
-    # through the axon tunnel.)
-    @jax.jit
-    def fwd(frames):
-        units = normalize_pairs(frames)
-        return model.apply(variables, units, train=False)  # (1,16,H,W,20)
+    variables = None
 
     from v2ce_toolbox_tpu.pipeline.driver import _flatten_chunk_stream
 
@@ -177,52 +175,88 @@ def device_bench(bf16: bool = False):
                 + kept + stream.dropped.sum()).astype(jnp.float32)
 
     n_iters = 20
+    dtypes = [(jnp.bfloat16, True)] if bf16 else [(jnp.float32, mfu)]
+    if with_bf16 and not bf16:
+        # the f32 record keeps the MFU audit; the bf16 add-on skips it
+        # (duplicate lower().compile() = a second executable load; its
+        # FLOP count equals f32's — 2178 vs 2177 GF measured)
+        dtypes = [(jnp.float32, mfu), (jnp.bfloat16, False)]
 
-    def run(n, key):
-        acc = jnp.zeros((), jnp.float32)
-        for i in range(n):
-            voxels = fwd(frames0 + acc * 1e-12)    # chained dependency
-            acc = acc + sample(voxels, jax.random.fold_in(key, i)) * 1e-20
-        return float(np.asarray(acc))
+    for compute_dtype, with_mfu in dtypes:
+        is_bf16 = compute_dtype == jnp.bfloat16
 
-    key = jax.random.key(0)
-    _ = run(2, key)                                # compile + warm
-    t0 = time.time()
-    total = run(n_iters, key)
-    elapsed = max(time.time() - t0, 1e-9)
-    assert np.isfinite(total)
+        model = V2ce3d(config=ModelConfig(compute_dtype=compute_dtype))
+        if variables is None:
+            variables = model.init(jax.random.key(0),
+                                   frames0[:, :3, :, :, None].repeat(2, -1),
+                                   train=False)
 
-    frames_per_sec = n_iters * seq_len / elapsed
+        # Driver-style execution: forward and sampler as SEPARATE jits
+        # with async chained dispatches and one final fetch — how the
+        # real pipeline runs. (Fusing both into one jit measured 136
+        # ms/window vs the 82 ms sum of parts — an XLA layout-assignment
+        # pathology, PERF.md round 3; separate dispatches queue
+        # server-side so the timing stays valid through the axon tunnel.)
+        @jax.jit
+        def fwd(frames, model=model):
+            units = normalize_pairs(frames)
+            return model.apply(variables, units,
+                               train=False)  # (1,16,H,W,20)
 
-    # Self-auditing MFU: XLA cost-analysis FLOPs of the stage-1 forward
-    # (the FLOP-dominant stage; reference analog: thop GFLOPs in
-    # train/scripts/tools/speed_test.py:28-44) over the measured window
-    # time, against the v5e bf16 MXU peak.
-    stage1 = {}
-    try:
-        cost = fwd.lower(frames0).compile().cost_analysis()
-        model_flops = float(cost.get("flops", 0.0))
-        stage1_s = timed_stage1_seconds(fwd, frames0, np, jnp, jax)
-        v5e_peak = 197e12
-        stage1 = {
-            "stage1_ms_per_window": round(stage1_s * 1e3, 2),
-            "stage1_gflops_per_window": round(model_flops / 1e9, 1),
-            "stage1_tflops_per_sec": round(model_flops / stage1_s / 1e12, 1),
-            "stage1_mfu_vs_v5e_bf16_peak": round(
-                model_flops / stage1_s / v5e_peak, 4),
-        }
-    except Exception as e:  # noqa: BLE001
-        print(f"# MFU measurement failed: {type(e).__name__}: {e}",
-              file=sys.stderr)
+        def run(n, key):
+            acc = jnp.zeros((), jnp.float32)
+            for i in range(n):
+                voxels = fwd(frames0 + acc * 1e-12)    # chained dependency
+                acc = acc + sample(voxels,
+                                   jax.random.fold_in(key, i)) * 1e-20
+            return float(np.asarray(acc))
 
-    print(json.dumps({
-        "metric": "e2e_frames_per_sec_per_chip",
-        "value": round(frames_per_sec, 2),
-        "unit": "frames/s",
-        "vs_baseline": round(frames_per_sec / 300.0, 4),
-        **({"dtype": "bf16"} if bf16 else {}),
-        **stage1,
-    }), flush=True)
+        key = jax.random.key(0)
+        t_wall = time.time()
+        _ = run(2, key)                                # compile + warm
+        print(f"# warm({'bf16' if is_bf16 else 'f32'}) done at "
+              f"+{time.time() - t_wall:.0f}s", file=sys.stderr)
+        t0 = time.time()
+        total = run(n_iters, key)
+        elapsed = max(time.time() - t0, 1e-9)
+        assert np.isfinite(total)
+
+        frames_per_sec = n_iters * seq_len / elapsed
+
+        # Self-auditing MFU: XLA cost-analysis FLOPs of the stage-1
+        # forward (the FLOP-dominant stage; reference analog: thop
+        # GFLOPs in train/scripts/tools/speed_test.py:28-44) over the
+        # measured window time, against the v5e bf16 MXU peak.
+        stage1 = {}
+        try:
+            if not with_mfu:
+                raise StopIteration  # skip quietly
+            cost = fwd.lower(frames0).compile().cost_analysis()
+            model_flops = float(cost.get("flops", 0.0))
+            stage1_s = timed_stage1_seconds(fwd, frames0, np, jnp, jax)
+            v5e_peak = 197e12
+            stage1 = {
+                "stage1_ms_per_window": round(stage1_s * 1e3, 2),
+                "stage1_gflops_per_window": round(model_flops / 1e9, 1),
+                "stage1_tflops_per_sec": round(
+                    model_flops / stage1_s / 1e12, 1),
+                "stage1_mfu_vs_v5e_bf16_peak": round(
+                    model_flops / stage1_s / v5e_peak, 4),
+            }
+        except StopIteration:
+            pass
+        except Exception as e:  # noqa: BLE001
+            print(f"# MFU measurement failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
+        print(json.dumps({
+            "metric": "e2e_frames_per_sec_per_chip",
+            "value": round(frames_per_sec, 2),
+            "unit": "frames/s",
+            "vs_baseline": round(frames_per_sec / 300.0, 4),
+            **({"dtype": "bf16"} if is_bf16 else {}),
+            **stage1,
+        }), flush=True)
 
 
 def timed_stage1_seconds(fwd, frames0, np, jnp, jax, n_iters=10):
@@ -283,6 +317,8 @@ def cli_wall_clock(num_frames: int = 321, budget_s: float = 1e9) -> float:
 
 if __name__ == "__main__":
     if "--device-only" in sys.argv[1:]:
-        device_bench(bf16="--bf16" in sys.argv[1:])
+        device_bench(bf16="--bf16" in sys.argv[1:],
+                     mfu="--no-mfu" not in sys.argv[1:],
+                     with_bf16="--with-bf16" in sys.argv[1:])
     else:
         main()
