@@ -114,3 +114,50 @@ def test_bf16_inference_path(base_setup):
     # and it must NOT be bit-identical to f32 (that would mean the
     # compute dtype silently never applied)
     assert err > 0.0
+
+
+def test_bf16_fidelity_metrics(base_setup):
+    """The bf16 production config's fidelity CONTRACT, asserted end to end
+    (VERDICT r4 item 7): stage-1 bf16-vs-f32 voxel occupancy agreement
+    (BinaryMatch, metric definition from the reference
+    train/scripts/model/metrics.py:39-62) and the downstream LDATI event
+    stream's count ratio + timestamp KS. The on-chip record at full scale
+    is PERF.md bf16_fidelity (BinaryMatch raw 0.9996, count ratio 1.00000,
+    KS 0.00008); the CI gate reruns the same metrics at test scale with
+    the same thresholds the production config is allowed to ship under."""
+    from v2ce_toolbox_tpu.ops.ldati import sample_events
+
+    x, variables, y_f32 = base_setup
+    model = V2ce3d(config=ModelConfig(compute_dtype=jnp.bfloat16))
+    y_bf16 = model.apply(variables, x, train=False).astype(jnp.float32)
+
+    # stage-1: BinaryMatch raw (occupancy agreement at the 0.01 threshold)
+    occ_f32 = np.asarray(y_f32) > 0.01
+    occ_bf16 = np.asarray(y_bf16) > 0.01
+    binary_match = float((occ_f32 == occ_bf16).mean())
+    assert binary_match >= 0.995, binary_match
+
+    # stage-2: sample both voxel grids with the SAME key; compare streams
+    def to_stream(y):
+        b, l, h, w, c = y.shape
+        v = jnp.transpose(y.reshape(b * l, h, w, 2, c // 2), (0, 3, 4, 1, 2))
+        return sample_events(v, jax.random.key(7), capacity=1 << 12)
+
+    s32, sbf = to_stream(jnp.asarray(y_f32)), to_stream(y_bf16)
+    n32 = int(np.asarray(s32.count).sum())
+    nbf = int(np.asarray(sbf.count).sum())
+    assert n32 > 0
+    ratio = nbf / n32
+    assert abs(ratio - 1.0) <= 0.005, (n32, nbf)
+
+    def valid_ts(s):
+        t = np.asarray(s.t_us)
+        m = (np.arange(t.shape[1])[None, :] < np.asarray(s.count)[:, None])
+        return np.sort(t[m].astype(np.float64))
+
+    a, b = valid_ts(s32), valid_ts(sbf)
+    grid = np.union1d(a, b)
+    ks = float(np.abs(
+        np.searchsorted(a, grid, side="right") / len(a)
+        - np.searchsorted(b, grid, side="right") / len(b)).max())
+    assert ks <= 0.02, ks

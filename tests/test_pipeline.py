@@ -624,3 +624,52 @@ def test_streaming_multichip_byte_identical(tmp_path):
     ev1 = np.load(r1["event_stream_path"])["event_stream"]
     ev8 = np.load(r8["event_stream_path"])["event_stream"]
     assert ev1.tobytes() == ev8.tobytes()
+
+
+def test_wire_roundtrip_wide_x():
+    """Merged-pano streams can carry x >= 512 (W up to 1023): the wide
+    wire format (x_bits=10) must round-trip them exactly. The 9-bit
+    format silently wrapped x into the delta field (round-5 fix;
+    reference pano emits full-width coordinates, v2ce.py:91-129)."""
+    import jax.numpy as jnp
+
+    from v2ce_toolbox_tpu.events import EventStream
+    from v2ce_toolbox_tpu.pipeline.driver import (
+        _fetch_chunk_events,
+        _x_bits_for_width,
+    )
+
+    assert _x_bits_for_width(346) == 9
+    assert _x_bits_for_width(520) == 10
+
+    rng = np.random.RandomState(5)
+    frames, cap, w = 2, 2048, 692          # two full 346 strips
+    counts = np.array([900, 700], np.int32)
+    t = np.full((frames, cap), np.iinfo(np.int32).max, np.int32)
+    x = np.zeros((frames, cap), np.int16)
+    y = np.zeros((frames, cap), np.int16)
+    p = np.zeros((frames, cap), np.int8)
+    for f in range(frames):
+        n = counts[f]
+        t[f, :n] = np.sort(rng.randint(0, 33334, n)).astype(np.int32)
+        x[f, :n] = rng.randint(0, w, n)
+        y[f, :n] = rng.randint(0, 260, n)
+        p[f, :n] = rng.randint(0, 2, n)
+    assert (x >= 512).any()
+    s = EventStream(jnp.asarray(t), jnp.asarray(x), jnp.asarray(y),
+                    jnp.asarray(p), jnp.asarray(counts),
+                    jnp.zeros_like(jnp.asarray(counts)))
+    offsets = (np.arange(frames) / 30 * 1e6).astype(np.int32)
+
+    out = _fetch_chunk_events(s, jnp.asarray(offsets), frames, 30.0,
+                              width=w)
+    ref_t = np.concatenate([t[f, :counts[f]].astype(np.int64) + offsets[f]
+                            for f in range(frames)])
+    np.testing.assert_array_equal(out["timestamp"], ref_t)
+    np.testing.assert_array_equal(
+        out["x"], np.concatenate([x[f, :counts[f]] for f in range(frames)]))
+    np.testing.assert_array_equal(
+        out["y"], np.concatenate([y[f, :counts[f]] for f in range(frames)]))
+    np.testing.assert_array_equal(
+        out["polarity"],
+        np.concatenate([p[f, :counts[f]] for f in range(frames)]))

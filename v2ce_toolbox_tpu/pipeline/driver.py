@@ -40,11 +40,15 @@ import functools
 
 # Bit-packed delta event wire format (device -> host). The event stream
 # is nondecreasing in time, so the int32 absolute-µs key compresses to a
-# delta_bits-wide delta in a (19 + delta_bits)-bit record, bit-packed
-# into a dense word stream (ops/bitpack.py):
-#   bits 19..18+delta_bits: delta µs vs previous event (all-ones =
+# delta_bits-wide delta in a (10 + x_bits + delta_bits)-bit record,
+# bit-packed into a dense word stream (ops/bitpack.py):
+#   top delta_bits:          delta µs vs previous event (all-ones =
 #                marker: the absolute key rides the in-order side list)
-#   bits 10..18: x, bits 1..9: y, bit 0: polarity
+#   bits 10..9+x_bits: x, bits 1..9: y, bit 0: polarity
+# x_bits is 9 for streams up to 512 px wide and 10 for wider merged-pano
+# streams (x >= 512 would otherwise overflow into the delta field and
+# corrupt the record — round-5 fix, guarded by
+# tests/test_pipeline.py::test_wire_roundtrip_wide_x).
 # The side list needs no positions: markers are visible in the delta
 # field, so the host pairs them up in order. Its capacity is physical,
 # not statistical: every marker means a gap >= the marker value, so a
@@ -55,13 +59,25 @@ import functools
 # footage (sub-µs mean gap) ships 3-bit deltas at 2.75 B/event +
 # 4 B/marker; sparse streams, where >= 7 µs gaps would make most events
 # markers, ship 12-bit deltas at 3.875 B/event with markers only at
-# >= 4095 µs gaps. Both beat the 8 B/event (t, payload) words the
-# round-1 driver fetched — the dominant device->host CLI term on
-# tunneled infra (PERF.md).
+# >= 4095 µs gaps (11-bit when x_bits = 10 keeps the record inside one
+# word). Both beat the 8 B/event (t, payload) words the round-1 driver
+# fetched — the dominant device->host CLI term on tunneled infra
+# (PERF.md).
 DELTA_BITS = 3
 # marker fraction above which the 3-bit format's side list outweighs the
 # 12-bit format's wider records: 22n/8 + 4m > 31n/8  <=>  m > 9n/32
 _SPARSE_SWITCH = 9 / 32
+
+
+def _x_bits_for_width(width: int) -> int:
+    """x field width: 9 bits covers every single-sensor stream (W <= 512);
+    merged pano streams wider than 512 px need 10."""
+    return 9 if width <= 512 else 10
+
+
+def _sparse_delta_bits(x_bits: int) -> int:
+    """Widest delta field keeping the record inside one 32-bit word."""
+    return min(12, 32 - (10 + x_bits))
 
 
 def _side_cap(frames: int, cap: int, span_us: int,
@@ -74,11 +90,12 @@ def _side_cap(frames: int, cap: int, span_us: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("frames", "skip_lead", "side_cap",
-                                    "delta_bits"))
+                                    "delta_bits", "x_bits"))
 def _flatten_chunk_stream(s: EventStream, offsets_us: jax.Array,
                           frames: int, skip_lead: int = 0,
                           side_cap: int = 1 << 17,
-                          delta_bits: int = DELTA_BITS):
+                          delta_bits: int = DELTA_BITS,
+                          x_bits: int = 9):
     """Device-side flatten of a chunk's per-frame event buffers into one
     valid-prefix bit-packed stream (wire format above), roll-compacted so
     the host fetches only ceil(kept/32) word columns instead of frames x
@@ -102,6 +119,7 @@ def _flatten_chunk_stream(s: EventStream, offsets_us: jax.Array,
         frame_row = jax.lax.broadcasted_iota(jnp.int32, t_us.shape, 0)
         valid = valid & (frame_row >= skip_lead)
     keys = jnp.where(valid, t_us + offsets_us[:frames, None], INVALID)
+    pbits = 10 + x_bits
     payload = jnp.where(
         valid,
         (s.x[:frames].astype(jnp.int32) << 10)
@@ -122,8 +140,8 @@ def _flatten_chunk_stream(s: EventStream, offsets_us: jax.Array,
     delta = out_k - prev                  # first event: its absolute key
     is_exc = in_prefix & ((delta < 0) | (delta >= marker))
     delta_enc = jnp.where(is_exc, marker, jnp.maximum(delta, 0))
-    recs = jnp.where(in_prefix, (delta_enc << 19) | out_p, 0)
-    words = pack_bits(recs, 19 + delta_bits)
+    recs = jnp.where(in_prefix, (delta_enc << pbits) | out_p, 0)
+    words = pack_bits(recs, pbits + delta_bits)
 
     side_in = jnp.where(is_exc, idx, INVALID)
     _, (side_key,), n_side, side_total = compact_rows(
@@ -133,16 +151,17 @@ def _flatten_chunk_stream(s: EventStream, offsets_us: jax.Array,
 
 
 def _decode_packed_events(words: np.ndarray, side_key: np.ndarray, n: int,
-                          delta_bits: int = DELTA_BITS):
+                          delta_bits: int = DELTA_BITS, x_bits: int = 9):
     """Host-side decode of the bit-packed wire format: returns (t_us
     int64, x, y, p). `words` must already be sliced to ceil(n/32) word
     columns; side_key to n_side."""
     from v2ce_toolbox_tpu.ops.bitpack import unpack_bits
 
     marker = (1 << delta_bits) - 1
-    recs = unpack_bits(words, 19 + delta_bits, n)
-    delta = (recs >> 19) & marker
-    x = ((recs >> 10) & 0x1FF).astype(np.int16)
+    pbits = 10 + x_bits
+    recs = unpack_bits(words, pbits + delta_bits, n)
+    delta = (recs >> pbits) & marker
+    x = ((recs >> 10) & ((1 << x_bits) - 1)).astype(np.int16)
     y = ((recs >> 1) & 0x1FF).astype(np.int16)
     p = (recs & 1).astype(np.int8)
     is_marker = delta == marker
@@ -159,7 +178,7 @@ def _decode_packed_events(words: np.ndarray, side_key: np.ndarray, n: int,
 
 def _fetch_chunk_events(s: EventStream, offsets_us: jax.Array, frames: int,
                         fps: float, skip_lead: int = 0,
-                        base_us: int = 0) -> np.ndarray:
+                        base_us: int = 0, width: int = 512) -> np.ndarray:
     """Flatten + fetch + decode one chunk's events as a structured array,
     adapting the wire format to stream density: dispatch the 3-bit-delta
     flatten first (device cost ~1-2 ms), and if its side list says the
@@ -178,19 +197,20 @@ def _fetch_chunk_events(s: EventStream, offsets_us: jax.Array, frames: int,
 
     span = int((frames + 1) * 1e6 / fps) + 2
     cap = int(s.t_us.shape[1])
+    x_bits = _x_bits_for_width(width)
     bits = DELTA_BITS
     scap = _side_cap(frames, cap, span, bits)
     words, kept, side_key, n_side, side_total = _flatten_chunk_stream(
         s, offsets_us, frames, skip_lead=skip_lead, side_cap=scap,
-        delta_bits=bits)
+        delta_bits=bits, x_bits=x_bits)
     n, m = int(kept), int(n_side)
     assert int(side_total) == m <= scap
     if m > n * _SPARSE_SWITCH:
-        bits = 12
+        bits = _sparse_delta_bits(x_bits)
         scap = _side_cap(frames, cap, span, bits)
         words, kept, side_key, n_side, side_total = _flatten_chunk_stream(
             s, offsets_us, frames, skip_lead=skip_lead, side_cap=scap,
-            delta_bits=bits)
+            delta_bits=bits, x_bits=x_bits)
         n, m = int(kept), int(n_side)
         assert int(side_total) == m <= scap
     # exact-length fetch: through the ~0.5 MB/s axon tunnel the transfer
@@ -198,7 +218,7 @@ def _fetch_chunk_events(s: EventStream, offsets_us: jax.Array, frames: int,
     # compiled shapes fetched 2.4x more bytes and measured slower e2e)
     ts, x_, y_, p_ = _decode_packed_events(
         np.asarray(words[:, :-(-n // 32)]), side_key[:m], n,
-        delta_bits=bits)
+        delta_bits=bits, x_bits=x_bits)
     out = np.zeros(n, dtype=EVENT_DTYPE)
     out["timestamp"] = ts + np.int64(base_us)
     out["x"], out["y"], out["polarity"] = x_, y_, p_
@@ -412,7 +432,7 @@ class V2cePipeline:
             assert rel[-1] + 2e6 < 2 ** 31
             parts.append(_fetch_chunk_events(
                 s, jnp.asarray(rel.astype(np.int32)), frames, cfg.fps,
-                base_us=base_us))
+                base_us=base_us, width=w))
         return np.concatenate(parts) if parts else np.zeros(0)
 
     # -- full run ---------------------------------------------------------
@@ -589,7 +609,8 @@ class V2cePipeline:
                     ef_sums.append(v.sum(axis=2)[skip:])  # (16-skip,2,H,W)
                 parts.append(_fetch_chunk_events(
                     s, jnp.asarray((offsets64 - base_us).astype(np.int32)),
-                    cfg.seq_len, cfg.fps, skip_lead=skip, base_us=base_us))
+                    cfg.seq_len, cfg.fps, skip_lead=skip, base_us=base_us,
+                    width=w_out))
         if vidcap is not None:
             vidcap.close()
 
