@@ -147,7 +147,7 @@ def device_bench(bf16: bool = False, mfu: bool = True,
     frames0 = jnp.asarray(rng.rand(1, seq_len + 1, h, w).astype(np.float32))
     variables = None
 
-    from v2ce_toolbox_tpu.pipeline.driver import _flatten_chunk_stream
+    from v2ce_toolbox_tpu.pipeline.driver import _sample_flatten_window
 
     offsets_us = jnp.asarray(
         (np.arange(seq_len) / 30 * 1e6).astype(np.int32))
@@ -156,23 +156,17 @@ def device_bench(bf16: bool = False, mfu: bool = True,
     def sample(voxels, key):
         v = jnp.transpose(voxels[0], (0, 3, 1, 2)).reshape(
             seq_len, 2, 10, h, w)
-        stream = sample_events(
-            v, key,
-            fps=30,
-            additional_events_strategy=scfg.additional_events_strategy,
-            max_events_per_voxel=scfg.max_events_per_voxel,
-            capacity=scfg.event_capacity,
-        )
-        # The device pipeline ends with the stream flatten the driver
-        # ships to the host — include it, and consume EVERY output field:
-        # returning only the count lets XLA dead-code-eliminate the
-        # timestamp sort entirely (discovered in round 2 — the round-1
-        # number was measured sort-free).
-        words, kept, side_key, n_side, side_total = _flatten_chunk_stream(
-            stream, offsets_us, seq_len)
+        # The round-5 driver path: sampler + wire-format flatten fused
+        # into one dispatch (pipeline/driver._sample_flatten_window).
+        # Consume EVERY output field: returning only the count lets XLA
+        # dead-code-eliminate the timestamp sort entirely (discovered in
+        # round 2 — the round-1 number was measured sort-free).
+        words, kept, side_key, n_side, side_total, dropped = (
+            _sample_flatten_window(v, key, offsets_us, scfg=scfg,
+                                   frames=seq_len, fps=30))
         return ((words % 97).sum().astype(jnp.int32)
                 + (side_key % 83).sum() + n_side + side_total
-                + kept + stream.dropped.sum()).astype(jnp.float32)
+                + kept + dropped.sum()).astype(jnp.float32)
 
     n_iters = 20
     dtypes = [(jnp.bfloat16, True)] if bf16 else [(jnp.float32, mfu)]

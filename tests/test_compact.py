@@ -12,9 +12,10 @@ def _ref_compact(row, cap, invalid):
     return valid[:cap]
 
 
-@pytest.mark.parametrize("algo", ["window", "place"])
+@pytest.mark.parametrize("algo,bc", [("window", 1), ("place", 1),
+                                     ("place", 3), ("place", 8)])
 @pytest.mark.parametrize("density", [0.0, 0.05, 0.5, 0.95, 1.0])
-def test_compact_rows_matches_reference(density, algo):
+def test_compact_rows_matches_reference(density, algo, bc):
     import jax.numpy as jnp
 
     from v2ce_toolbox_tpu.ops.compact_pallas import INVALID, compact_rows
@@ -28,7 +29,7 @@ def test_compact_rows_matches_reference(density, algo):
 
     out_keys, (out_pay,), kept, total = compact_rows(
         jnp.asarray(keys), [jnp.asarray(pay)], cap=cap, chunk=chunk,
-        algo=algo)
+        algo=algo, block_chunks=bc)
     out_keys, out_pay = np.asarray(out_keys), np.asarray(out_pay)
     kept, total = np.asarray(kept), np.asarray(total)
 
@@ -121,7 +122,8 @@ def test_compact_rows_no_payload_many_shapes():
 
 @pytest.mark.parametrize("chunk", [256, 512])
 @pytest.mark.parametrize("density", [0.0, 0.1, 0.6, 1.0])
-def test_append_rows_matches_concat(density, chunk):
+@pytest.mark.parametrize("bc", [1, 2, 8])
+def test_append_rows_matches_concat(density, chunk, bc):
     """append_rows == concatenation of the rows' valid prefixes (the
     driver's stream-flatten contract: per-frame buffers are prefixes)."""
     import jax.numpy as jnp
@@ -138,7 +140,8 @@ def test_append_rows_matches_concat(density, chunk):
         pay[i, :counts[i]] = rng.randint(0, 1 << 20, counts[i])
 
     out_k, (out_p,), kept, total = append_rows(
-        jnp.asarray(keys), [jnp.asarray(pay)], cap=r * w, chunk=chunk)
+        jnp.asarray(keys), [jnp.asarray(pay)], cap=r * w, chunk=chunk,
+        block_chunks=bc)
     out_k, out_p = np.asarray(out_k)[0], np.asarray(out_p)[0]
     kept, total = int(kept[0]), int(total[0])
 

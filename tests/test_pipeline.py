@@ -673,3 +673,72 @@ def test_wire_roundtrip_wide_x():
     np.testing.assert_array_equal(
         out["polarity"],
         np.concatenate([p[f, :counts[f]] for f in range(frames)]))
+
+
+@pytest.mark.parametrize("strategy", ["slope", "none", "random"])
+def test_fused_flatten_matches_unfused(strategy):
+    """The fused sampler+flatten (_sample_flatten_window: wire format
+    assembled on the post-sort rows, ONE merge pass) must emit exactly
+    the stream of the round-4 chain sample_events -> per-frame buffers ->
+    _flatten_chunk_stream, including skip_lead, per-frame capacity
+    clipping, and the side-list/marker semantics."""
+    import jax
+    import jax.numpy as jnp
+
+    from v2ce_toolbox_tpu.config import SamplerConfig
+    from v2ce_toolbox_tpu.ops.ldati import sample_events
+    from v2ce_toolbox_tpu.pipeline.driver import (
+        _fetch_chunk_events,
+        _fetch_chunk_events_fused,
+        _fused_flatten_ok,
+    )
+
+    rng = np.random.RandomState(11)
+    f, p, c, h, w = 4, 2, 10, 24, 36
+    v = jnp.asarray((rng.rand(f, p, c, h, w) < 0.2).astype(np.float32)
+                    * rng.rand(f, p, c, h, w).astype(np.float32) * 3)
+    scfg = SamplerConfig(additional_events_strategy=strategy,
+                         event_capacity=1 << 12,
+                         cap_bin=1 << 9, multi_cap=512, sort_cap=1 << 9)
+    assert _fused_flatten_ok(scfg, p, h, w, 30)
+    offsets = jnp.asarray((np.arange(f) / 30 * 1e6).astype(np.int32))
+    key = jax.random.key(3)
+
+    for skip in (0, 2):
+        s = sample_events(v, key, **scfg.sample_kwargs(fps=30))
+        ref = _fetch_chunk_events(s, offsets, f, 30.0, skip_lead=skip,
+                                  width=w, monotone=strategy != "random")
+        got = _fetch_chunk_events_fused(v, key, offsets, f, scfg, 30,
+                                        skip_lead=skip, width=w)
+        assert ref.tobytes() == got.tobytes(), (
+            skip, len(ref), len(got))
+        assert len(ref) > 0
+
+
+def test_fused_flatten_capacity_clip_matches():
+    """With event_capacity below a frame's emission, the fused path must
+    drop exactly the same tail events the per-frame merge cap drops."""
+    import jax
+    import jax.numpy as jnp
+
+    from v2ce_toolbox_tpu.config import SamplerConfig
+    from v2ce_toolbox_tpu.ops.ldati import sample_events
+    from v2ce_toolbox_tpu.pipeline.driver import (
+        _fetch_chunk_events,
+        _fetch_chunk_events_fused,
+    )
+
+    rng = np.random.RandomState(2)
+    f, p, c, h, w = 2, 2, 10, 16, 24
+    v = jnp.asarray(rng.rand(f, p, c, h, w).astype(np.float32) * 2)
+    # tiny capacity: well below the per-frame emission of this dense grid
+    scfg = SamplerConfig(event_capacity=256, cap_bin=1 << 9,
+                         multi_cap=512, sort_cap=1 << 9)
+    offsets = jnp.asarray((np.arange(f) / 30 * 1e6).astype(np.int32))
+    key = jax.random.key(5)
+
+    s = sample_events(v, key, **scfg.sample_kwargs(fps=30))
+    assert int(np.asarray(s.dropped).sum()) > 0     # the clip binds
+    ref = _fetch_chunk_events(s, offsets, f, 30.0, width=w)
+    got = _fetch_chunk_events_fused(v, key, offsets, f, scfg, 30, width=w)
+    assert ref.tobytes() == got.tobytes(), (len(ref), len(got))

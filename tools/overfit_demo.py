@@ -1,0 +1,167 @@
+"""Overfit-to-metric training demonstration (VERDICT r4 item 4).
+
+The reference's product is a trained checkpoint whose quality is recorded
+as val_BinaryMatchF1_sum_c = 0.5372 (reference:
+train/scripts/tools/speed_test.py:23 checkpoint filename). MVSEC is not
+available on this infra, so the "can the training stack LEARN, not just
+descend?" question is answered by overfitting a handful of dummy packets
+(the reference's own fixture generator pattern,
+train/scripts/tools/dummy_data_gen.py) with the FULL loss stack —
+pyramid + ef + ef_splitp + compensation + GAN (two-optimizer, gan.py:
+236-299 semantics) — on the virtual 8-device mesh until the train
+BinaryMatchF1_sum_c beats the reference checkpoint's val level.
+
+Writes artifacts/overfit_demo.json with the metric trajectory; the driver
+-visible summary line prints at the end. Run from the repo root:
+
+    python tools/overfit_demo.py [--steps 600] [--target 0.5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+_BOOTSTRAP_ENV = "_V2CE_OVERFIT_BOOTSTRAPPED"
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--target", type=float, default=0.5,
+                    help="train BinaryMatchF1_sum_c to reach (reference "
+                         "checkpoint's val level is 0.5372)")
+    ap.add_argument("--eval_every", type=int, default=10)
+    ap.add_argument("--devices", type=int, default=8)
+    ap.add_argument("--out", default=os.path.join(_REPO, "artifacts",
+                                                  "overfit_demo.json"))
+    args = ap.parse_args(argv)
+
+    # self-bootstrap onto the virtual CPU mesh (same recipe as
+    # __graft_entry__.dryrun_multichip: sitecustomize registers the TPU
+    # plugin at interpreter start, so a fresh subprocess is needed)
+    if os.environ.get(_BOOTSTRAP_ENV) != "1":
+        env = dict(os.environ)
+        env[_BOOTSTRAP_ENV] = "1"
+        env["JAX_PLATFORMS"] = "cpu"
+        flags = " ".join(
+            f for f in env.get("XLA_FLAGS", "").split()
+            if "xla_force_host_platform_device_count" not in f)
+        flags += f" --xla_force_host_platform_device_count={args.devices}"
+        if "collective_call_terminate" not in flags:
+            flags += (
+                " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+                " --xla_cpu_collective_call_terminate_timeout_seconds=3600")
+        env["XLA_FLAGS"] = flags.strip()
+        rc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)]
+            + (argv if argv is not None else sys.argv[1:]),
+            env=env, cwd=_REPO).returncode
+        raise SystemExit(rc)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from v2ce_toolbox_tpu.config import ModelConfig, TrainConfig
+    from v2ce_toolbox_tpu.data.dummy_data_gen import generate
+    from v2ce_toolbox_tpu.data.event_pack_dataset import EventPackDataset
+    from v2ce_toolbox_tpu.models import V2ce3d
+    from v2ce_toolbox_tpu.parallel.mesh import make_mesh, shard_batch
+    from v2ce_toolbox_tpu.train.gan import make_discriminator
+    from v2ce_toolbox_tpu.train.state import create_train_state
+    from v2ce_toolbox_tpu.train.step import make_eval_step, make_train_step
+    from v2ce_toolbox_tpu.utils.jax_setup import (
+        raise_cpu_collective_timeouts,
+    )
+
+    raise_cpu_collective_timeouts()
+    t_start = time.time()
+
+    h, w, seq = 32, 40, 2
+    b = args.devices
+    with tempfile.TemporaryDirectory() as td:
+        # a fixed batch of b packets: real schema (structured events ->
+        # GT voxels via the voxelizer), memorizable by construction
+        # correlated packets: events are a function of the frames
+        # (DVS-style diff threshold), so the metric measures LEARNING a
+        # mapping, not noise memorization
+        generate(td, num_packets=4 * b, height=h, width=w, seed=7,
+                 correlated=True)
+        ds = EventPackDataset("train", td, seq_len=seq,
+                              frame_size=(h, w), include_flows=False,
+                              include_lfr=True)
+        items = [ds[i] for i in range(b)]
+        batch = {k: np.stack([it[k] for it in items], 0)
+                 for k in ("image_units", "voxels")}
+
+    mesh = make_mesh(args.devices)
+    model = V2ce3d(config=ModelConfig(base_num_channels=16))
+    disc = make_discriminator()
+    cfg = TrainConfig(loss="pyramid+ef+ef_splitp+compensation+gan",
+                      batch_size=b, lr=1e-3, lr_scheduler=None)
+    state = create_train_state(
+        model, cfg, input_shape=(1, seq, h, w, 2),
+        disc=disc, disc_input_shape=(1, h, w, 20))
+    train_step = make_train_step(model, cfg, disc=disc, gan_k=1,
+                                 mesh=mesh, donate=False)
+    eval_step = make_eval_step(model, cfg, mesh=mesh)
+    sharded = shard_batch(mesh, batch)
+
+    trajectory = []
+    reached_at = None
+    f1 = 0.0
+    for step in range(1, args.steps + 1):
+        state, logs = train_step(state, sharded)
+        if step % args.eval_every == 0 or step == 1:
+            m = eval_step(state, sharded)
+            f1 = float(m["BinaryMatchF1_sum_c"])
+            trajectory.append({
+                "step": step,
+                "loss": float(logs["loss"]),
+                "BinaryMatchF1_sum_c": round(f1, 4),
+                "BinaryMatch_raw": round(float(m["BinaryMatch_raw"]), 4),
+            })
+            print(f"step {step:4d}  loss {float(logs['loss']):9.4f}  "
+                  f"train_BinaryMatchF1_sum_c {f1:.4f}", flush=True)
+            if reached_at is None and f1 >= args.target:
+                reached_at = step
+                break
+
+    out = {
+        "task": "overfit 8 dummy packets, full loss stack incl. GAN, "
+                "8-device mesh",
+        "loss": cfg.loss,
+        "model": "V2ce3d base16 full arch",
+        "batch": [b, seq, h, w],
+        "target_BinaryMatchF1_sum_c": args.target,
+        "reference_checkpoint_val_level": 0.5372,
+        "reached_at_step": reached_at,
+        "final_BinaryMatchF1_sum_c": round(f1, 4),
+        "trajectory": trajectory,
+        "wall_s": round(time.time() - t_start, 1),
+        "devices": args.devices,
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    ok = reached_at is not None
+    print(f"overfit_demo {'ok' if ok else 'DID NOT REACH TARGET'}: "
+          f"BinaryMatchF1_sum_c {f1:.4f} "
+          f"(target {args.target}, reference val level 0.5372) "
+          f"at step {reached_at} in {out['wall_s']}s", flush=True)
+    raise SystemExit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

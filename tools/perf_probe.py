@@ -10,6 +10,7 @@ Usage: python tools/perf_probe.py [probe ...]
 Probes: model, model_pad, model_bf16, conv_iso, sampler, sort, gather
 """
 
+import functools
 import os
 import sys
 import time
@@ -2125,6 +2126,327 @@ def probe_bf16_fidelity():
 
 
 PROBES["bf16_fidelity"] = probe_bf16_fidelity
+
+
+def probe_compact_block():
+    """A/B the block_chunks lever: chunks per Mosaic grid step for the
+    place compactor (chain-compaction shape) and the append kernel
+    (flatten shape). bc > 1 amortizes per-grid-step sequencing overhead;
+    the butterfly/roll work per element is unchanged, so any delta IS the
+    grid overhead. Also sweeps chunk size at fixed whole-row blocks
+    (smaller chunks = fewer butterfly stages per element once the
+    per-chunk fixed cost is amortized)."""
+    from v2ce_toolbox_tpu.ops.compact_pallas import (
+        INVALID, append_rows, compact_rows)
+
+    rng = np.random.RandomState(0)
+    f, cb, seg = 16, 9, 2 * 260 * 346
+    keys0 = np.where(rng.rand(f * cb, seg) < 0.15,
+                     rng.randint(0, 1 << 30, (f * cb, seg)),
+                     INVALID).astype(np.int32)
+    kx = rng.randint(0, 1 << 30, (f * cb, seg)).astype(np.int32)
+    k_j, x_j = jnp.asarray(keys0), jnp.asarray(kx)
+
+    def perturb(args, acc):
+        return tuple(a + (acc * 1e-12).astype(jnp.int32) for a in args)
+
+    for chunk, bc in [(16384, 1), (16384, 3), (16384, 6), (16384, 12),
+                      (8192, 24), (4096, 48), (2048, 96)]:
+        def chain(args, chunk=chunk, bc=bc):
+            kk, px = args
+            o, (op,), kc, t = compact_rows(
+                kk, [px], cap=1 << 14, chunk=chunk, algo="place",
+                block_chunks=bc)
+            return o[:, ::255].astype(jnp.int64).sum(), kc.sum()
+
+        dt = timed_loop(chain, (k_j, x_j), n_iters=10, perturb=perturb)
+        print(f"chain place chunk={chunk} bc={bc}: {dt*1e3:.2f} ms",
+              flush=True)
+
+    frames, cap = 16, 1 << 19
+    per_frame = 74_000
+    counts = np.full(frames, per_frame, np.int32)
+    t = np.sort(rng.randint(0, 33_333, (frames, cap)).astype(np.int32), 1)
+    slot = np.arange(cap)[None]
+    akeys = jnp.asarray(np.where(slot < counts[:, None], t,
+                                 INVALID).astype(np.int32))
+    apay = jnp.asarray(np.where(slot < counts[:, None],
+                                rng.randint(0, 346, (frames, cap)), 0
+                                ).astype(np.int32))
+
+    for chunk, bc in [(8192, 1), (8192, 8), (8192, 16), (8192, 64),
+                      (4096, 128), (2048, 256)]:
+        def app(args, chunk=chunk, bc=bc):
+            kk, px = args
+            o, (op,), kc, _ = append_rows(kk, [px], cap=frames * cap,
+                                          chunk=chunk, block_chunks=bc)
+            return o[:, ::255].astype(jnp.int64).sum(), kc.sum()
+
+        dt = timed_loop(app, (akeys, apay), n_iters=10, perturb=perturb)
+        print(f"append chunk={chunk} bc={bc}: {dt*1e3:.2f} ms", flush=True)
+
+
+PROBES["compact_block"] = probe_compact_block
+
+
+def probe_fused_pipeline():
+    """A/B the round-5 fused sampler+flatten (_sample_flatten_window: wire
+    format on the post-sort rows + ONE merge) against the round-4 chain
+    (sample_events -> per-frame buffers -> _flatten_chunk_stream), full
+    16-frame 260x346 window at synthetic-dense load."""
+    import jax
+
+    from v2ce_toolbox_tpu.config import SamplerConfig
+    from v2ce_toolbox_tpu.ops.ldati import sample_events
+    from v2ce_toolbox_tpu.pipeline.driver import (
+        _flatten_chunk_stream, _sample_flatten_window)
+
+    rng = np.random.RandomState(0)
+    f, p, c, h, w = 16, 2, 10, 260, 346
+    v = jnp.asarray((rng.rand(f, p, c, h, w) < 0.1).astype(np.float32)
+                    * rng.rand(f, p, c, h, w).astype(np.float32) * 4)
+    scfg = SamplerConfig()
+    offs = jnp.asarray((np.arange(f) / 30 * 1e6).astype(np.int32))
+    key = jax.random.key(0)
+
+    @jax.jit
+    def unfused(vv):
+        s = sample_events(vv, key, **scfg.sample_kwargs(fps=30))
+        words, kept, side_key, n_side, side_total = _flatten_chunk_stream(
+            s, offs, f)
+        return ((words % 97).sum().astype(jnp.int32)
+                + (side_key % 83).sum() + n_side + side_total + kept
+                + s.dropped.sum()).astype(jnp.float32)
+
+    @jax.jit
+    def fused(vv):
+        words, kept, side_key, n_side, side_total, dropped = (
+            _sample_flatten_window(vv, key, offs, scfg=scfg, frames=f,
+                                   fps=30))
+        return ((words % 97).sum().astype(jnp.int32)
+                + (side_key % 83).sum() + n_side + side_total + kept
+                + dropped.sum()).astype(jnp.float32)
+
+    for name, fn in [("unfused (r4 chain)", unfused), ("fused", fused)]:
+        def run(args, fn=fn):
+            vv, = args
+            return fn(vv)
+
+        dt = timed_loop(run, (v,), n_iters=10,
+                        perturb=lambda args, acc: (args[0] + acc * 1e-12,))
+        print(f"sampler+flatten [{name}]: {dt*1e3:.2f} ms", flush=True)
+
+
+PROBES["fused_pipeline"] = probe_fused_pipeline
+
+
+def probe_stage1_flags():
+    """VERDICT r4 item 2: A/B XLA:TPU compiler flags on the full stage-1
+    forward (the one unmeasured lever class for the ~8 ms residual above
+    the composite bound), plus a seq_len=32 window to amortize per-window
+    non-FLOP copies. Unknown flags on this XLA version report as
+    unavailable instead of failing the sweep."""
+    import time as _t
+
+    import jax
+    from flax.core import freeze
+
+    from v2ce_toolbox_tpu.config import ModelConfig
+    from v2ce_toolbox_tpu.models import V2ce3d
+    from v2ce_toolbox_tpu.pipeline.preprocess import normalize_pairs
+
+    rng = np.random.RandomState(0)
+    h, w = 260, 346
+    model = V2ce3d(config=ModelConfig(compute_dtype=jnp.bfloat16))
+    frames16 = jnp.asarray(rng.rand(1, 17, h, w).astype(np.float32))
+    frames32 = jnp.asarray(rng.rand(1, 33, h, w).astype(np.float32))
+    variables = model.init(jax.random.key(0),
+                           frames16[:, :3, :, :, None].repeat(2, -1),
+                           train=False)
+
+    def fwd(frames):
+        units = normalize_pairs(frames)
+        return model.apply(variables, units, train=False)
+
+    def timed_compiled(compiled, frames, n=10):
+        def run(k):
+            acc = jnp.zeros((), jnp.float32)
+            for _ in range(k):
+                out = compiled(frames + acc * 1e-12)
+                acc = acc + out.sum().astype(jnp.float32) * 1e-20
+            return float(np.asarray(acc))
+
+        _ = run(2)
+        t0 = _t.time()
+        r = run(n)
+        assert np.isfinite(r)
+        return (_t.time() - t0) / n
+
+    flag_sets = [
+        ("baseline", {}),
+        ("vmem-128M", {"xla_tpu_scoped_vmem_limit_kib": "131072"}),
+        ("no-latency-hiding",
+         {"xla_tpu_enable_latency_hiding_scheduler": "false"}),
+        ("latency-hiding",
+         {"xla_tpu_enable_latency_hiding_scheduler": "true"}),
+        ("licm-2x", {"xla_tpu_licm_size_inflation_ratio": "2.0"}),
+        ("no-dot-sr", {"xla_tpu_enable_dot_strength_reduction": "false"}),
+        ("no-multi-level-fusion",
+         {"xla_tpu_enable_multi_level_nested_loop_fusion": "false"}),
+        ("opt-level-3", {"xla_backend_optimization_level": "3"}),
+        ("all-reduce-scatter", {}),
+    ]
+    lowered = jax.jit(fwd).lower(frames16)
+    base_dt = None
+    for name, opts in flag_sets:
+        if name == "all-reduce-scatter":
+            continue
+        try:
+            compiled = lowered.compile(compiler_options=opts or None)
+        except Exception as e:  # noqa: BLE001
+            print(f"stage1 flags [{name}]: unavailable "
+                  f"({type(e).__name__}: {str(e)[:120]})", flush=True)
+            continue
+        dt = timed_compiled(compiled, frames16)
+        if name == "baseline":
+            base_dt = dt
+        rel = f" ({dt / base_dt:.3f}x)" if base_dt else ""
+        print(f"stage1 flags [{name}]: {dt*1e3:.2f} ms/window{rel}",
+              flush=True)
+
+    # seq_len scaling: 32-frame window, report per-16-frames for direct
+    # comparison (reference --seq_len flag, v2ce.py:286)
+    c32 = jax.jit(fwd).lower(frames32).compile()
+    dt32 = timed_compiled(c32, frames32, n=6)
+    print(f"stage1 seq_len=32: {dt32*1e3:.2f} ms/window "
+          f"= {dt32*1e3/2:.2f} ms per 16 frames", flush=True)
+
+
+PROBES["stage1_flags"] = probe_stage1_flags
+
+
+def probe_fused_phases():
+    """Decompose _sample_flatten_window: rows-only (sampler core), + wire
+    prep (payload/delta/recs elementwise), + merge, + side pass — each a
+    separate jit consuming its outputs, so the regression vs the unfused
+    chain localizes."""
+    import jax
+
+    from v2ce_toolbox_tpu.config import SamplerConfig
+    from v2ce_toolbox_tpu.ops.compact_pallas import (
+        INVALID, compact_rows, merge_sorted_rows)
+    from v2ce_toolbox_tpu.ops.ldati import sample_events
+
+    rng = np.random.RandomState(0)
+    f, p, c, h, w = 16, 2, 10, 260, 346
+    cb = c - 1
+    v = jnp.asarray((rng.rand(f, p, c, h, w) < 0.1).astype(np.float32)
+                    * rng.rand(f, p, c, h, w).astype(np.float32) * 4)
+    scfg = SamplerConfig()
+    offs = jnp.asarray((np.arange(f) / 30 * 1e6).astype(np.int32))
+    key = jax.random.key(0)
+    kw = scfg.sample_kwargs(fps=30)
+    kw.pop("capacity")
+
+    def rows(vv):
+        rel, gvox, te, cd = sample_events(
+            vv, key, capacity=1 << 19, return_rows=True, **kw)
+        return ((rel[:, ::255] % 97).sum() + (gvox[:, ::255] % 83).sum()
+                + te.sum() + cd.sum()).astype(jnp.float32)
+
+    def wire(vv):
+        rel, gvox, te, cd = sample_events(
+            vv, key, capacity=1 << 19, return_rows=True, **kw)
+        rr, wd = rel.shape
+        valid = rel != INVALID
+        row_id = jnp.arange(rr, dtype=jnp.int32)
+        bin_row = row_id % cb
+        voxel_step = 1.0 / 30 / cb
+        bin_start_us = ((bin_row.astype(jnp.float32) * voxel_step)
+                        * 1e6).astype(jnp.int32)
+        off_row = offs[jnp.minimum(row_id // cb, f - 1)]
+        t_abs = rel + (bin_start_us + off_row)[:, None]
+        hw = h * w
+        rem = gvox % (p * hw)
+        payload = (((rem % hw) % w) << 10) | (((rem % hw) // w) << 1) \
+            | (rem // hw)
+        t_val = jnp.where(valid, t_abs, jnp.int32(-2147483647))
+        last = jnp.max(t_val, axis=1)
+        has = jnp.any(valid, axis=1)
+
+        def ff2(a, b):
+            av, ah = a
+            bv, bh = b
+            return jnp.where(bh, bv, av), ah | bh
+
+        inc_val, _ = jax.lax.associative_scan(
+            ff2, (jnp.where(has, last, 0), has))
+        prev_last = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), inc_val[:-1]])
+        prev = jnp.concatenate([prev_last[:, None], t_abs[:, :-1]], axis=1)
+        delta = t_abs - prev
+        is_exc = valid & ((delta < 0) | (delta >= 7))
+        recs = jnp.where(valid,
+                         (jnp.where(is_exc, 7, jnp.maximum(delta, 0))
+                          << 19) | payload, INVALID)
+        side_cand = jnp.where(is_exc, t_abs, INVALID)
+        return ((recs[:, ::255] % 97).sum()
+                + (side_cand[:, ::255] % 83).sum()).astype(jnp.float32)
+
+    def wire_and_merge(vv, with_side):
+        rel, gvox, te, cd = sample_events(
+            vv, key, capacity=1 << 19, return_rows=True, **kw)
+        rr, wd = rel.shape
+        valid = rel != INVALID
+        row_id = jnp.arange(rr, dtype=jnp.int32)
+        bin_row = row_id % cb
+        voxel_step = 1.0 / 30 / cb
+        bin_start_us = ((bin_row.astype(jnp.float32) * voxel_step)
+                        * 1e6).astype(jnp.int32)
+        off_row = offs[jnp.minimum(row_id // cb, f - 1)]
+        t_abs = rel + (bin_start_us + off_row)[:, None]
+        hw = h * w
+        rem = gvox % (p * hw)
+        payload = (((rem % hw) % w) << 10) | (((rem % hw) // w) << 1) \
+            | (rem // hw)
+        prev = jnp.concatenate(
+            [jnp.zeros((rr, 1), jnp.int32), t_abs[:, :-1]], axis=1)
+        delta = t_abs - prev
+        is_exc = valid & ((delta < 0) | (delta >= 7))
+        recs = jnp.where(valid,
+                         (jnp.where(is_exc, 7, jnp.maximum(delta, 0))
+                          << 19) | payload, INVALID)
+        out_recs, _, kept, _ = merge_sorted_rows(recs, (), nb=rr,
+                                                 cap=rr * wd)
+        acc = (out_recs[0][::255] % 97).sum() + kept.sum()
+        if with_side:
+            side_cand = jnp.where(is_exc, t_abs, INVALID)
+            side_rows, _, _, ns_tot = compact_rows(
+                side_cand, (), cap=2048, chunk=2048, algo="place")
+            side_flat, _, n_side, _ = merge_sorted_rows(
+                side_rows, (), nb=rr, cap=2048)
+            acc = acc + (side_flat[0][::31] % 83).sum() + n_side.sum() \
+                + ns_tot.sum()
+        return acc.astype(jnp.float32)
+
+    cases = [
+        ("rows only (sampler core)", jax.jit(rows)),
+        ("+ wire prep", jax.jit(wire)),
+        ("+ merge (no side)",
+         jax.jit(functools.partial(wire_and_merge, with_side=False))),
+        ("+ merge + side",
+         jax.jit(functools.partial(wire_and_merge, with_side=True))),
+    ]
+    for name, fn in cases:
+        def run(args, fn=fn):
+            return fn(args[0])
+
+        dt = timed_loop(run, (v,), n_iters=10,
+                        perturb=lambda args, acc: (args[0] + acc * 1e-12,))
+        print(f"fused phase [{name}]: {dt*1e3:.2f} ms", flush=True)
+
+
+PROBES["fused_phases"] = probe_fused_phases
 
 
 if __name__ == "__main__":

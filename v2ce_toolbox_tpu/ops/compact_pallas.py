@@ -213,13 +213,19 @@ def _compact_kernel(keys_ref, *rest, chunk, n_chunks, cap_chunks,
         copy.wait()
 
 
-def _compact_kernel2(keys_ref, *rest, chunk, n_chunks, cap_chunks,
+def _compact_kernel2(keys_ref, *rest, chunk, n_steps, bc, cap_chunks,
                      n_payloads):
     """Place-based variant of _compact_kernel: front-pack ONLY the
     incoming chunk (half the butterfly volume of the 2-chunk window),
     then rotate it to the pending offset of a 2-chunk VMEM accumulator
     (one dynamic lane roll + a masked window write, as in _merge_kernel).
-    Same contract and drop semantics as _compact_kernel."""
+    Same contract and drop semantics as _compact_kernel.
+
+    Each grid step carries `bc` chunks (block_chunks): the per-step body
+    loops over the block's chunks, so Mosaic's grid sequencing / revolving
+    buffer overhead amortizes over bc chunks instead of paying per chunk
+    (measured: the per-grid-step overhead was a third of the chain
+    compaction's cost at bc=1, tools/perf_probe.py compact_block)."""
     payload_refs = rest[:n_payloads]
     out_keys = rest[n_payloads]
     out_payloads = rest[n_payloads + 1:n_payloads + 1 + n_payloads]
@@ -229,112 +235,120 @@ def _compact_kernel2(keys_ref, *rest, chunk, n_chunks, cap_chunks,
     sem = rest[-1]
 
     r = pl.program_id(0)
-    ci = pl.program_id(1)
+    bi = pl.program_id(1)
     sc = chunk // _LANES
-
-    @pl.when(ci == 0)
-    def _():
-        state[0] = 0
-        state[1] = 0
-        state[2] = 0
-        state[3] = 0
-        acc[0] = jnp.full_like(acc[0], INVALID)
-        for i in range(n_payloads):
-            acc[1 + i] = jnp.zeros_like(acc[1 + i])
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (sc, _LANES), 1)
     flat = (jax.lax.broadcasted_iota(jnp.int32, (sc, _LANES), 0) * _LANES
             + lane)
-
-    key = keys_ref[0, 0]
-    pays = [payload_refs[i][0, 0] for i in range(n_payloads)]
-    key, pays, cnt = _front_pack(key, pays, lane, flat, chunk)
-
-    pend = state[0]
-    state[2] = state[2] + cnt
-
-    # place the packed chunk into acc at flat offset pend
-    rr = pend // _LANES
-    ll = pend % _LANES
     lane2 = jax.lax.broadcasted_iota(jnp.int32, (sc + 1, _LANES), 1)
-    gflat = (rr + jax.lax.broadcasted_iota(
-        jnp.int32, (sc + 1, _LANES), 0)) * _LANES + lane2
-    window = (gflat >= pend) & (gflat < pend + cnt)
 
-    def place(tile, fill, slot):
-        padded = jnp.concatenate(
-            [tile, jnp.full((1, _LANES), fill, tile.dtype)], axis=0)
-        al = pltpu.roll(padded, ll, axis=1)
-        bl = pltpu.roll(_roll(padded, 1, axis=0), ll, axis=1)
-        shifted = jnp.where(lane2 >= ll, al, bl)
-        region = acc[slot, pl.ds(rr, sc + 1)]
-        acc[slot, pl.ds(rr, sc + 1)] = jnp.where(window, shifted, region)
+    for sub in range(bc):
+        if sub == 0:
+            @pl.when(bi == 0)
+            def _():
+                state[0] = 0
+                state[1] = 0
+                state[2] = 0
+                state[3] = 0
+                acc[0] = jnp.full_like(acc[0], INVALID)
+                for i in range(n_payloads):
+                    acc[1 + i] = jnp.zeros_like(acc[1 + i])
 
-    place(key, INVALID, 0)
-    for i in range(n_payloads):
-        place(pays[i], 0, 1 + i)
+        key = keys_ref[0, sub]
+        pays = [payload_refs[i][0, sub] for i in range(n_payloads)]
+        key, pays, cnt = _front_pack(key, pays, lane, flat, chunk)
 
-    new_pend = pend + cnt
-    cidx = state[1]
+        pend = state[0]
+        state[2] = state[2] + cnt
 
-    @pl.when((new_pend >= chunk) & (cidx < cap_chunks))
-    def _():
-        send[0] = acc[0, :sc]
+        # place the packed chunk into acc at flat offset pend
+        rr = pend // _LANES
+        ll = pend % _LANES
+        gflat = (rr + jax.lax.broadcasted_iota(
+            jnp.int32, (sc + 1, _LANES), 0)) * _LANES + lane2
+        window = (gflat >= pend) & (gflat < pend + cnt)
+
+        def place(tile, fill, slot, ll=ll, window=window, rr=rr):
+            padded = jnp.concatenate(
+                [tile, jnp.full((1, _LANES), fill, tile.dtype)], axis=0)
+            al = pltpu.roll(padded, ll, axis=1)
+            bl = pltpu.roll(_roll(padded, 1, axis=0), ll, axis=1)
+            shifted = jnp.where(lane2 >= ll, al, bl)
+            region = acc[slot, pl.ds(rr, sc + 1)]
+            acc[slot, pl.ds(rr, sc + 1)] = jnp.where(window, shifted,
+                                                     region)
+
+        place(key, INVALID, 0)
         for i in range(n_payloads):
-            send[1 + i] = acc[1 + i, :sc]
-        copy = pltpu.make_async_copy(send.at[0], out_keys.at[r, cidx], sem)
-        copy.start()
-        copy.wait()
-        for i in range(n_payloads):
-            copy = pltpu.make_async_copy(
-                send.at[1 + i], out_payloads[i].at[r, cidx], sem)
-            copy.start()
-            copy.wait()
-        state[1] = cidx + 1
-        state[3] = state[3] + chunk
+            place(pays[i], 0, 1 + i)
 
-    # pop the first chunk when full (emitted, or dropped whole at
-    # capacity — exact via total - kept): shift acc down by sc rows
-    @pl.when(new_pend >= chunk)
-    def _():
-        fills = [jnp.full((sc, _LANES), INVALID, jnp.int32)] + [
-            jnp.zeros((sc, _LANES), jnp.int32)] * n_payloads
-        for slot in range(1 + n_payloads):
-            acc[slot] = jnp.concatenate(
-                [acc[slot, sc:], fills[slot]], axis=0)
+        new_pend = pend + cnt
+        cidx = state[1]
 
-    state[0] = jnp.where(new_pend >= chunk, new_pend - chunk, new_pend)
-
-    @pl.when(ci == n_chunks - 1)
-    def _():
-        cidx2 = state[1]
-
-        @pl.when((state[0] > 0) & (cidx2 < cap_chunks))
-        def _():
+        @pl.when((new_pend >= chunk) & (cidx < cap_chunks))
+        def _(cidx=cidx):
             send[0] = acc[0, :sc]
-            copy = pltpu.make_async_copy(send.at[0],
-                                         out_keys.at[r, cidx2], sem)
+            for i in range(n_payloads):
+                send[1 + i] = acc[1 + i, :sc]
+            copy = pltpu.make_async_copy(send.at[0], out_keys.at[r, cidx],
+                                         sem)
             copy.start()
             copy.wait()
             for i in range(n_payloads):
-                send[1 + i] = acc[1 + i, :sc]
                 copy = pltpu.make_async_copy(
-                    send.at[1 + i], out_payloads[i].at[r, cidx2], sem)
+                    send.at[1 + i], out_payloads[i].at[r, cidx], sem)
                 copy.start()
                 copy.wait()
-            state[3] = state[3] + state[0]
+            state[1] = cidx + 1
+            state[3] = state[3] + chunk
 
-        lane0 = jax.lax.broadcasted_iota(jnp.int32, (sc, _LANES), 1)
-        counts_tile = jnp.where(
-            lane0 == 0, state[3], jnp.where(lane0 == 1, state[2], 0))
-        send[0] = counts_tile
-        copy = pltpu.make_async_copy(send.at[0],
-                                     out_keys.at[r, cap_chunks], sem)
-        copy.start()
-        copy.wait()
+        # pop the first chunk when full (emitted, or dropped whole at
+        # capacity — exact via total - kept): shift acc down by sc rows
+        @pl.when(new_pend >= chunk)
+        def _():
+            fills = [jnp.full((sc, _LANES), INVALID, jnp.int32)] + [
+                jnp.zeros((sc, _LANES), jnp.int32)] * n_payloads
+            for slot in range(1 + n_payloads):
+                acc[slot] = jnp.concatenate(
+                    [acc[slot, sc:], fills[slot]], axis=0)
+
+        state[0] = jnp.where(new_pend >= chunk, new_pend - chunk, new_pend)
+
+        if sub == bc - 1:
+            @pl.when(bi == n_steps - 1)
+            def _():
+                cidx2 = state[1]
+
+                @pl.when((state[0] > 0) & (cidx2 < cap_chunks))
+                def _():
+                    send[0] = acc[0, :sc]
+                    copy = pltpu.make_async_copy(send.at[0],
+                                                 out_keys.at[r, cidx2], sem)
+                    copy.start()
+                    copy.wait()
+                    for i in range(n_payloads):
+                        send[1 + i] = acc[1 + i, :sc]
+                        copy = pltpu.make_async_copy(
+                            send.at[1 + i], out_payloads[i].at[r, cidx2],
+                            sem)
+                        copy.start()
+                        copy.wait()
+                    state[3] = state[3] + state[0]
+
+                lane0 = jax.lax.broadcasted_iota(jnp.int32, (sc, _LANES), 1)
+                counts_tile = jnp.where(
+                    lane0 == 0, state[3],
+                    jnp.where(lane0 == 1, state[2], 0))
+                send[0] = counts_tile
+                copy = pltpu.make_async_copy(send.at[0],
+                                             out_keys.at[r, cap_chunks],
+                                             sem)
+                copy.start()
+                copy.wait()
 
 
-def _append_kernel(keys_ref, *rest, chunk, n_rows, n_chunks, cap_chunks,
+def _append_kernel(keys_ref, *rest, chunk, n_rows, n_steps, bc, cap_chunks,
                    n_payloads):
     """Append-based collapse of R prefix-packed rows into ONE stream:
     `_compact_kernel2` with the per-chunk butterfly front-pack removed
@@ -356,105 +370,113 @@ def _append_kernel(keys_ref, *rest, chunk, n_rows, n_chunks, cap_chunks,
     sem = rest[-1]
 
     r = pl.program_id(0)
-    ci = pl.program_id(1)
+    bi = pl.program_id(1)
     sc = chunk // _LANES
-
-    @pl.when((r == 0) & (ci == 0))
-    def _():
-        state[0] = 0
-        state[1] = 0
-        state[2] = 0
-        state[3] = 0
-        acc[0] = jnp.full_like(acc[0], INVALID)
-        for i in range(n_payloads):
-            acc[1 + i] = jnp.zeros_like(acc[1 + i])
-
-    key = keys_ref[0, 0]
-    pays = [payload_refs[i][0, 0] for i in range(n_payloads)]
-    cnt = jnp.sum((key != INVALID).astype(jnp.int32))
-
-    pend = state[0]
-    state[2] = state[2] + cnt
-
-    # place the (already packed) chunk into acc at flat offset pend
-    rr = pend // _LANES
-    ll = pend % _LANES
     lane2 = jax.lax.broadcasted_iota(jnp.int32, (sc + 1, _LANES), 1)
-    gflat = (rr + jax.lax.broadcasted_iota(
-        jnp.int32, (sc + 1, _LANES), 0)) * _LANES + lane2
-    window = (gflat >= pend) & (gflat < pend + cnt)
 
-    def place(tile, fill, slot):
-        padded = jnp.concatenate(
-            [tile, jnp.full((1, _LANES), fill, tile.dtype)], axis=0)
-        al = pltpu.roll(padded, ll, axis=1)
-        bl = pltpu.roll(_roll(padded, 1, axis=0), ll, axis=1)
-        shifted = jnp.where(lane2 >= ll, al, bl)
-        region = acc[slot, pl.ds(rr, sc + 1)]
-        acc[slot, pl.ds(rr, sc + 1)] = jnp.where(window, shifted, region)
+    for sub in range(bc):
+        if sub == 0:
+            @pl.when((r == 0) & (bi == 0))
+            def _():
+                state[0] = 0
+                state[1] = 0
+                state[2] = 0
+                state[3] = 0
+                acc[0] = jnp.full_like(acc[0], INVALID)
+                for i in range(n_payloads):
+                    acc[1 + i] = jnp.zeros_like(acc[1 + i])
 
-    @pl.when(cnt > 0)
-    def _():
-        place(key, INVALID, 0)
-        for i in range(n_payloads):
-            place(pays[i], 0, 1 + i)
+        key = keys_ref[0, sub]
+        pays = [payload_refs[i][0, sub] for i in range(n_payloads)]
+        cnt = jnp.sum((key != INVALID).astype(jnp.int32))
 
-    new_pend = pend + cnt
-    cidx = state[1]
+        pend = state[0]
+        state[2] = state[2] + cnt
 
-    @pl.when((new_pend >= chunk) & (cidx < cap_chunks))
-    def _():
-        send[0] = acc[0, :sc]
-        for i in range(n_payloads):
-            send[1 + i] = acc[1 + i, :sc]
-        copy = pltpu.make_async_copy(send.at[0], out_keys.at[0, cidx], sem)
-        copy.start()
-        copy.wait()
-        for i in range(n_payloads):
-            copy = pltpu.make_async_copy(
-                send.at[1 + i], out_payloads[i].at[0, cidx], sem)
-            copy.start()
-            copy.wait()
-        state[1] = cidx + 1
-        state[3] = state[3] + chunk
+        # place the (already packed) chunk into acc at flat offset pend
+        rr = pend // _LANES
+        ll = pend % _LANES
+        gflat = (rr + jax.lax.broadcasted_iota(
+            jnp.int32, (sc + 1, _LANES), 0)) * _LANES + lane2
+        window = (gflat >= pend) & (gflat < pend + cnt)
 
-    @pl.when(new_pend >= chunk)
-    def _():
-        fills = [jnp.full((sc, _LANES), INVALID, jnp.int32)] + [
-            jnp.zeros((sc, _LANES), jnp.int32)] * n_payloads
-        for slot in range(1 + n_payloads):
-            acc[slot] = jnp.concatenate(
-                [acc[slot, sc:], fills[slot]], axis=0)
+        def place(tile, fill, slot, ll=ll, window=window, rr=rr):
+            padded = jnp.concatenate(
+                [tile, jnp.full((1, _LANES), fill, tile.dtype)], axis=0)
+            al = pltpu.roll(padded, ll, axis=1)
+            bl = pltpu.roll(_roll(padded, 1, axis=0), ll, axis=1)
+            shifted = jnp.where(lane2 >= ll, al, bl)
+            region = acc[slot, pl.ds(rr, sc + 1)]
+            acc[slot, pl.ds(rr, sc + 1)] = jnp.where(window, shifted,
+                                                     region)
 
-    state[0] = jnp.where(new_pend >= chunk, new_pend - chunk, new_pend)
+        @pl.when(cnt > 0)
+        def _(key=key, pays=pays, place=place):
+            place(key, INVALID, 0)
+            for i in range(n_payloads):
+                place(pays[i], 0, 1 + i)
 
-    @pl.when((r == n_rows - 1) & (ci == n_chunks - 1))
-    def _():
-        cidx2 = state[1]
+        new_pend = pend + cnt
+        cidx = state[1]
 
-        @pl.when((state[0] > 0) & (cidx2 < cap_chunks))
-        def _():
+        @pl.when((new_pend >= chunk) & (cidx < cap_chunks))
+        def _(cidx=cidx):
             send[0] = acc[0, :sc]
-            copy = pltpu.make_async_copy(send.at[0],
-                                         out_keys.at[0, cidx2], sem)
+            for i in range(n_payloads):
+                send[1 + i] = acc[1 + i, :sc]
+            copy = pltpu.make_async_copy(send.at[0], out_keys.at[0, cidx],
+                                         sem)
             copy.start()
             copy.wait()
             for i in range(n_payloads):
-                send[1 + i] = acc[1 + i, :sc]
                 copy = pltpu.make_async_copy(
-                    send.at[1 + i], out_payloads[i].at[0, cidx2], sem)
+                    send.at[1 + i], out_payloads[i].at[0, cidx], sem)
                 copy.start()
                 copy.wait()
-            state[3] = state[3] + state[0]
+            state[1] = cidx + 1
+            state[3] = state[3] + chunk
 
-        lane0 = jax.lax.broadcasted_iota(jnp.int32, (sc, _LANES), 1)
-        counts_tile = jnp.where(
-            lane0 == 0, state[3], jnp.where(lane0 == 1, state[2], 0))
-        send[0] = counts_tile
-        copy = pltpu.make_async_copy(send.at[0],
-                                     out_keys.at[0, cap_chunks], sem)
-        copy.start()
-        copy.wait()
+        @pl.when(new_pend >= chunk)
+        def _():
+            fills = [jnp.full((sc, _LANES), INVALID, jnp.int32)] + [
+                jnp.zeros((sc, _LANES), jnp.int32)] * n_payloads
+            for slot in range(1 + n_payloads):
+                acc[slot] = jnp.concatenate(
+                    [acc[slot, sc:], fills[slot]], axis=0)
+
+        state[0] = jnp.where(new_pend >= chunk, new_pend - chunk, new_pend)
+
+        if sub == bc - 1:
+            @pl.when((r == n_rows - 1) & (bi == n_steps - 1))
+            def _():
+                cidx2 = state[1]
+
+                @pl.when((state[0] > 0) & (cidx2 < cap_chunks))
+                def _():
+                    send[0] = acc[0, :sc]
+                    copy = pltpu.make_async_copy(send.at[0],
+                                                 out_keys.at[0, cidx2], sem)
+                    copy.start()
+                    copy.wait()
+                    for i in range(n_payloads):
+                        send[1 + i] = acc[1 + i, :sc]
+                        copy = pltpu.make_async_copy(
+                            send.at[1 + i], out_payloads[i].at[0, cidx2],
+                            sem)
+                        copy.start()
+                        copy.wait()
+                    state[3] = state[3] + state[0]
+
+                lane0 = jax.lax.broadcasted_iota(jnp.int32, (sc, _LANES), 1)
+                counts_tile = jnp.where(
+                    lane0 == 0, state[3],
+                    jnp.where(lane0 == 1, state[2], 0))
+                send[0] = counts_tile
+                copy = pltpu.make_async_copy(send.at[0],
+                                             out_keys.at[0, cap_chunks],
+                                             sem)
+                copy.start()
+                copy.wait()
 
 
 def _merge_kernel(keys_ref, *rest, nb, sr, s_out, cap, n_payloads):
@@ -595,9 +617,10 @@ def merge_sorted_rows(keys: jax.Array, payloads: Sequence[jax.Array] = (),
     return out_keys, out_pays, kept, total
 
 
-@functools.partial(jax.jit, static_argnames=("cap", "chunk"))
+@functools.partial(jax.jit, static_argnames=("cap", "chunk",
+                                             "block_chunks"))
 def append_rows(keys: jax.Array, payloads: Sequence[jax.Array] = (),
-                *, cap: int, chunk: int = 8192
+                *, cap: int, chunk: int = 8192, block_chunks: int = 1
                 ) -> Tuple[jax.Array, Tuple[jax.Array, ...],
                            jax.Array, jax.Array]:
     """Collapse R prefix-packed rows into ONE front-packed stream.
@@ -612,6 +635,8 @@ def append_rows(keys: jax.Array, payloads: Sequence[jax.Array] = (),
       keys: (R, W) int32, INT32_MAX marks empty; each row prefix-packed.
       payloads: same-shape int32 arrays routed with the keys.
       cap: output capacity (rounded up to a chunk multiple).
+      block_chunks: chunks carried per grid step (amortizes Mosaic's
+        per-step sequencing overhead; the carry state spans blocks).
     Returns:
       (out_keys (1, cap'), out_payloads, kept (1,), total (1,)):
       kept == min(total, cap'); overflow beyond cap is dropped in whole
@@ -620,13 +645,15 @@ def append_rows(keys: jax.Array, payloads: Sequence[jax.Array] = (),
     r, n = keys.shape
     payloads = tuple(payloads)
     assert chunk % _LANES == 0, chunk
-    if n % chunk:
-        pad = chunk - n % chunk
+    bc = max(1, min(block_chunks, -(-n // chunk)))
+    if n % (chunk * bc):
+        pad = chunk * bc - n % (chunk * bc)
         # per-row tail padding preserves each row's prefix structure
         keys = jnp.pad(keys, ((0, 0), (0, pad)), constant_values=INVALID)
         payloads = tuple(jnp.pad(p, ((0, 0), (0, pad))) for p in payloads)
         n += pad
     n_chunks = n // chunk
+    n_steps = n_chunks // bc
     n_pay = len(payloads)
     cap_chunks = -(-cap // chunk)
     cap_pad = cap_chunks * chunk
@@ -636,8 +663,8 @@ def append_rows(keys: jax.Array, payloads: Sequence[jax.Array] = (),
         return a.reshape(r, n_chunks, sc, _LANES)
 
     interpret = jax.default_backend() != "tpu"
-    in_specs = [pl.BlockSpec((1, 1, sc, _LANES),
-                             lambda ri, ci: (ri, ci, 0, 0),
+    in_specs = [pl.BlockSpec((1, bc, sc, _LANES),
+                             lambda ri, bi: (ri, bi, 0, 0),
                              memory_space=pltpu.VMEM)
                 for _ in range(1 + n_pay)]
     out_shapes = (
@@ -649,9 +676,9 @@ def append_rows(keys: jax.Array, payloads: Sequence[jax.Array] = (),
 
     outs = pl.pallas_call(
         functools.partial(_append_kernel, chunk=chunk, n_rows=r,
-                          n_chunks=n_chunks, cap_chunks=cap_chunks,
+                          n_steps=n_steps, bc=bc, cap_chunks=cap_chunks,
                           n_payloads=n_pay),
-        grid=(r, n_chunks),
+        grid=(r, n_steps),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
@@ -679,9 +706,11 @@ def append_rows(keys: jax.Array, payloads: Sequence[jax.Array] = (),
     return out_keys, out_pays, kept, total
 
 
-@functools.partial(jax.jit, static_argnames=("cap", "chunk", "algo"))
+@functools.partial(jax.jit, static_argnames=("cap", "chunk", "algo",
+                                             "block_chunks"))
 def compact_rows(keys: jax.Array, payloads: Sequence[jax.Array] = (),
-                 *, cap: int, chunk: int = 2048, algo: str = "window"
+                 *, cap: int, chunk: int = 2048, algo: str = "window",
+                 block_chunks: int = 1
                  ) -> Tuple[jax.Array, Tuple[jax.Array, ...],
                             jax.Array, jax.Array]:
     """Stable per-row compaction: elements with key != INT32_MAX move to
@@ -691,6 +720,8 @@ def compact_rows(keys: jax.Array, payloads: Sequence[jax.Array] = (),
       keys: (R, N) int32; INT32_MAX marks empty slots. N % chunk == 0.
       payloads: int32 arrays of the same shape, routed with the keys.
       cap: output row capacity, rounded up to a chunk multiple.
+      block_chunks: chunks per grid step ('place' algo only) — amortizes
+        Mosaic's per-step sequencing overhead over bc chunks.
     Returns:
       (out_keys (R, cap'), out_payloads, kept (R,), total (R,)):
       rows front-packed with INT32_MAX beyond `kept`; `total` counts all
@@ -699,12 +730,16 @@ def compact_rows(keys: jax.Array, payloads: Sequence[jax.Array] = (),
     r, n = keys.shape
     payloads = tuple(payloads)
     assert chunk % _LANES == 0, chunk
-    if n % chunk:
-        pad = chunk - n % chunk
+    bc = max(1, min(block_chunks, -(-n // chunk)))
+    if algo == "window":
+        assert bc == 1, "block_chunks > 1 requires algo='place'"
+    if n % (chunk * bc):
+        pad = chunk * bc - n % (chunk * bc)
         keys = jnp.pad(keys, ((0, 0), (0, pad)), constant_values=INVALID)
         payloads = tuple(jnp.pad(p, ((0, 0), (0, pad))) for p in payloads)
         n += pad
     n_chunks = n // chunk
+    n_steps = n_chunks // bc
     n_pay = len(payloads)
     cap_chunks = -(-cap // chunk)
     cap_pad = cap_chunks * chunk
@@ -714,8 +749,8 @@ def compact_rows(keys: jax.Array, payloads: Sequence[jax.Array] = (),
         return a.reshape(r, n_chunks, sc, _LANES)
 
     interpret = jax.default_backend() != "tpu"
-    in_specs = [pl.BlockSpec((1, 1, sc, _LANES),
-                             lambda ri, ci: (ri, ci, 0, 0),
+    in_specs = [pl.BlockSpec((1, bc, sc, _LANES),
+                             lambda ri, bi: (ri, bi, 0, 0),
                              memory_space=pltpu.VMEM)
                 for _ in range(1 + n_pay)]
     out_shapes = (
@@ -726,12 +761,18 @@ def compact_rows(keys: jax.Array, payloads: Sequence[jax.Array] = (),
                  + [pl.BlockSpec(memory_space=pltpu.ANY)
                     for _ in range(n_pay)])
 
-    kernel = _compact_kernel if algo == "window" else _compact_kernel2
+    if algo == "window":
+        kernel = functools.partial(
+            _compact_kernel, chunk=chunk, n_chunks=n_chunks,
+            cap_chunks=cap_chunks, n_payloads=n_pay)
+    else:
+        kernel = functools.partial(
+            _compact_kernel2, chunk=chunk, n_steps=n_steps, bc=bc,
+            cap_chunks=cap_chunks, n_payloads=n_pay)
     acc_rows = sc if algo == "window" else 2 * sc + 1
     outs = pl.pallas_call(
-        functools.partial(kernel, chunk=chunk, n_chunks=n_chunks,
-                          cap_chunks=cap_chunks, n_payloads=n_pay),
-        grid=(r, n_chunks),
+        kernel,
+        grid=(r, n_steps),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,

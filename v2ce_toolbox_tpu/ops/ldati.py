@@ -621,7 +621,8 @@ def _sample_events_v3(
     sort_cap: Optional[int] = None,
     pre_ordered: bool = False,
     packed=None,
-) -> EventStream:
+    return_rows: bool = False,
+):
     """Sort-light sampler core. The reference's per-channel gather/argsort
     loops (LDATI.py:248-310) and the v2 flat kv sort (an honest 215 ms per
     16 frames: sort 66 ms + gathers ~100 ms, tools/perf_probe.py) become:
@@ -810,8 +811,13 @@ def _sample_events_v3(
         c_extra = ckx & 0xFF
         multi_keys_in = jnp.where((c_extra > 0) & (chain_keys != _INV),
                                   chain_keys, _INV)
+        # place algo + 4096 chunk: the window algo at 2048 measured ~3x
+        # the per-element cost (tools/perf_probe.py compact_block /
+        # flatten side-pass A/B); cap rounds up to one chunk
+        mchunk = min(chunk, max(128, (multi_cap // 128) * 128))
         m_keys, (mkx,), _, _ = compact_rows(
-            multi_keys_in, [ckx], cap=multi_cap, chunk=min(chunk, 2048))
+            multi_keys_in, [ckx], cap=multi_cap, chunk=mchunk,
+            algo="place")
         mc = m_keys.shape[1]
         # order the pool by extra-count DESCENDING (stable) so the tiered
         # slot prefixes below cover the highest-multiplicity voxels first
@@ -875,7 +881,7 @@ def _sample_events_v3(
         if sort_cap is not None and sort_cap < rel_in.shape[1]:
             rel_in, (vox_in,), _, _ = compact_rows(
                 rel_in, [vox_in], cap=sort_cap,
-                chunk=min(4096, sort_cap), algo="place")
+                chunk=min(16384, sort_cap), algo="place")
         rel_only, vox_s = lax.sort((rel_in, vox_in), dimension=1,
                                    num_keys=1)
         row_bin = lax.broadcasted_iota(
@@ -885,9 +891,11 @@ def _sample_events_v3(
         merged_in = jnp.concatenate(rows, axis=1)
         if sort_cap is not None and sort_cap < merged_in.shape[1]:
             # chunk <= sort_cap so the effective cap (rounded up to a
-            # chunk multiple) stays at sort_cap for power-of-two caps
+            # chunk multiple) stays at sort_cap for power-of-two caps;
+            # 16384 chunks run ~1.65x cheaper per element than 4096
+            # (compact_block sweep)
             merged_in, _, _, _ = compact_rows(
-                merged_in, (), cap=sort_cap, chunk=min(4096, sort_cap),
+                merged_in, (), cap=sort_cap, chunk=min(16384, sort_cap),
                 algo="place")
         merged = lax.sort(merged_in, dimension=1)
 
@@ -899,6 +907,25 @@ def _sample_events_v3(
         gvox = jnp.where(merged != _INV,
                          (merged & vox_mask) + row_bin * seg, 0)
         rel_only = jnp.where(merged != _INV, merged >> vox_bits, _INV)
+
+    # per-frame emit totals are bounded by cb*seg*mepv <= ~26M per frame,
+    # far inside int32 — sum in int32 (int64 is unavailable without x64)
+    if packed is not None:
+        total_emit = total_emit_pre
+        cap_dropped_f = cap_dropped_pre
+    else:
+        total_emit = emit_f.sum(axis=(1, 2), dtype=jnp.int32)
+        cap_dropped = jnp.where(counts > mepv, counts - mepv, 0)
+        if strategy == "none":
+            cap_dropped = jnp.zeros_like(cap_dropped)
+        cap_dropped_f = frame_order(cap_dropped).sum(axis=(1, 2))
+
+    if return_rows:
+        # fused wire-format path (pipeline/driver._sample_flatten_window):
+        # hand back the post-sort (f*cb, W) rows so the caller can fold
+        # the frame merge, the stream flatten, and the bit-packing into
+        # ONE merge pass instead of merge -> per-frame buffers -> append
+        return rel_only, gvox, total_emit, cap_dropped_f
 
     # bins are time-disjoint and each row is sorted, so the frame stream
     # is the concatenation of the rows' valid prefixes — an O(W) append
@@ -924,17 +951,6 @@ def _sample_events_v3(
                      * 1e6).astype(jnp.int32)
     t_us = jnp.where(out_rel != _INV, out_rel + bin_start_dec, _INT32_MAX)
 
-    # per-frame emit totals are bounded by cb*seg*mepv <= ~26M per frame,
-    # far inside int32 — sum in int32 (int64 is unavailable without x64)
-    if packed is not None:
-        total_emit = total_emit_pre
-        cap_dropped_f = cap_dropped_pre
-    else:
-        total_emit = emit_f.sum(axis=(1, 2), dtype=jnp.int32)
-        cap_dropped = jnp.where(counts > mepv, counts - mepv, 0)
-        if strategy == "none":
-            cap_dropped = jnp.zeros_like(cap_dropped)
-        cap_dropped_f = frame_order(cap_dropped).sum(axis=(1, 2))
     dropped = total_emit - kept + cap_dropped_f
     return decode_event_stream(t_us, out_vox, kept, dropped, p, h, w)
 
@@ -950,6 +966,7 @@ def _sample_events_v3(
         "additional_events_strategy", "bidirectional",
         "max_events_per_voxel", "max_multi_voxels", "capacity",
         "use_v3", "cap_bin", "multi_cap", "sort_cap", "use_gen_kernel",
+        "return_rows",
     ),
 )
 def sample_events(
@@ -970,7 +987,8 @@ def sample_events(
     multi_cap: int = 4096,
     sort_cap: Optional[int] = 1 << 14,
     use_gen_kernel: bool = True,
-) -> EventStream:
+    return_rows: bool = False,
+):
     """Sample a timestamped event stream from predicted voxels — the
     jit-compiled core of the LDATI sampler.
 
@@ -1044,7 +1062,8 @@ def sample_events(
                 cap_bin=cap_bin, multi_cap=multi_cap, capacity=capacity,
                 sort_cap=sort_cap, pre_ordered=True,
                 packed=(keys_g.reshape(bb * cb, seg), payloads,
-                        emit_tot, drop_tot))
+                        emit_tot, drop_tot),
+                return_rows=return_rows)
 
     if pre_ordered:
         y = jnp.swapaxes(jnp.flip(voxels, 1), 1, 2)
@@ -1078,7 +1097,13 @@ def sample_events(
             max_events_per_voxel=max_events_per_voxel,
             cap_bin=cap_bin, multi_cap=multi_cap, capacity=capacity,
             sort_cap=sort_cap, pre_ordered=pre_ordered,
+            return_rows=return_rows,
         )
+    if return_rows:
+        raise ValueError(
+            "return_rows requires the v3 sampler path (strategy in "
+            "none/slope/random, no pooling on this shape); callers gate "
+            "on ldati.supports_rows() and fall back otherwise")
 
     # Per-voxel emit counts. count == 1 voxels emit their chain event;
     # count >= 2 voxels emit `count` stochastic events (LDATI.py:228-239);
@@ -1130,6 +1155,22 @@ def sample_events(
       keys)
     return decode_event_stream(t_us, vox_id, count, dropped + cap_dropped_f,
                                p, h, w)
+
+
+def supports_rows(p: int, h: int, w: int, *, fps: int, c: int = 10,
+                  additional_events_strategy: str = "slope",
+                  pooling_type: str = "none",
+                  use_v3: bool = True) -> bool:
+    """Whether `sample_events(..., return_rows=True)` covers this config —
+    the exact take_v3 gate of sample_events (callers that fuse the wire
+    format, e.g. pipeline/driver._sample_flatten_window, fall back to the
+    per-frame EventStream path otherwise)."""
+    seg_bits = max(int(np.ceil(np.log2(max(p * h * w, 2)))), 1)
+    max_rel_us = int(1.0 / fps / (c - 1) * 1e6) + 2
+    return (use_v3
+            and additional_events_strategy in ("none", "slope", "random")
+            and pooling_type in ("none", "avg", "weighted")
+            and max_rel_us <= (1 << (31 - seg_bits)) - 2)
 
 
 def sample_voxel_statistical(

@@ -81,10 +81,17 @@ def _sparse_delta_bits(x_bits: int) -> int:
 
 
 def _side_cap(frames: int, cap: int, span_us: int,
-              delta_bits: int = DELTA_BITS) -> int:
-    """Static side-list capacity from the >= marker-µs-per-marker bound."""
+              delta_bits: int = DELTA_BITS, monotone: bool = True) -> int:
+    """Static side-list capacity. For time-sorted streams the bound is
+    physical: every marker means a gap >= the marker value, so a chunk
+    spanning span_us holds at most span_us/marker of them. The 'random'
+    strategy's streams are NOT time-sorted (reference keeps raw U[0,1)s
+    offsets and concatenates per-channel sorts, LDATI.py:173-174,290-300),
+    so negative deltas make every event a potential marker — the bound is
+    the full event count."""
     marker = (1 << delta_bits) - 1
-    n = min(frames * cap, span_us // marker + frames + 64)
+    bound = span_us // marker + frames + 64 if monotone else frames * cap
+    n = min(frames * cap, bound)
     return -(-n // 2048) * 2048
 
 
@@ -150,6 +157,215 @@ def _flatten_chunk_stream(s: EventStream, offsets_us: jax.Array,
     return words, kept, side_key[0], n_side[0], side_total[0]
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("scfg", "frames", "fps", "skip_lead",
+                                    "side_cap", "delta_bits", "x_bits"))
+def _sample_flatten_window(voxels: jax.Array, key: jax.Array,
+                           offsets_us: jax.Array, *, scfg, frames: int,
+                           fps: int, skip_lead: int = 0,
+                           side_cap: int = 1 << 17,
+                           delta_bits: int = DELTA_BITS, x_bits: int = 9):
+    """Fused sampler + stream flatten: LDATI up to its post-sort
+    (frame*bin, W) rows (ops/ldati.sample_events(return_rows=True)), then
+    the wire format assembled ON THE ROWS and ONE merge pass emits the
+    flat bit-packed stream.
+
+    This replaces the round-4 chain  merge(bins->frame buffers) ->
+    append(frames->stream) -> delta/bitpack -> side compaction over the
+    flat stream  with  per-row delta/bitpack -> merge(rows->stream) +
+    per-row side compaction: the frames x capacity append pass disappears
+    and the side pass carries one word instead of two (the deltas are
+    computable per row because each sorted row's valids are a prefix and
+    the cross-row boundary delta only needs the previous non-empty row's
+    last key — a 144-step scan). Stream bytes are identical to the
+    unfused path: same candidate rows, same merge order, same delta
+    semantics (tests/test_pipeline.py::test_fused_flatten_matches_unfused).
+
+    Returns (words, kept, side_key, n_side, side_total, dropped):
+    dropped is the per-frame sampler drop accounting (capacity clipping
+    included, exactly as EventStream.dropped reports it)."""
+    from v2ce_toolbox_tpu.ops.bitpack import pack_bits
+    from v2ce_toolbox_tpu.ops.compact_pallas import (
+        INVALID, compact_rows, merge_sorted_rows)
+    from v2ce_toolbox_tpu.ops.ldati import sample_events
+
+    f, p, c, h, w = voxels.shape
+    cb = c - 1
+    kw = scfg.sample_kwargs(fps=fps)
+    capacity = kw.pop("capacity")
+    strategy = kw["additional_events_strategy"]
+    # t0 = 0 is the driver contract (per-frame offsets ride offsets_us);
+    # the bin-start decode below reproduces sample_events' t0=0 floats.
+    rel, gvox, total_emit, cap_drop = sample_events(
+        voxels, key, capacity=capacity, return_rows=True, **kw)
+    rr, wd = rel.shape                      # rr = f * cb
+    voxel_step = 1.0 / fps / cb
+
+    valid = rel != INVALID
+    # per-ROW frame/bin ids (length rr) — broadcast into the (rr, wd)
+    # grid; indexing offsets_us at row granularity keeps the lookup a
+    # 144-element gather instead of a 2.4M-element one
+    row_id = jnp.arange(rr, dtype=jnp.int32)
+    frame_row = row_id // cb
+    bin_row = row_id % cb
+    frame = frame_row[:, None]
+
+    # per-frame capacity clipping, bit-equal to the EventStream path's
+    # merge cap (the merge drops the tail of each frame's bin-concat
+    # stream beyond cap_eff; rows concatenate in the same order here)
+    cap_eff = min(capacity, -(-cb * wd // 128) * 128)
+    if cb * wd > cap_eff:
+        cnt_row = jnp.sum(valid, axis=1, dtype=jnp.int32)
+        csum = jnp.cumsum(cnt_row.reshape(f, cb), axis=1)
+        prefix = (csum - cnt_row.reshape(f, cb)).reshape(rr)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (rr, wd), 1)
+        valid = valid & (prefix[:, None] + pos < cap_eff)
+
+    # sampler drop accounting (before skip_lead, like EventStream.dropped)
+    kept_frame = jnp.sum(valid, axis=1, dtype=jnp.int32
+                         ).reshape(f, cb).sum(axis=1)
+    dropped = total_emit - kept_frame + cap_drop
+
+    # wire-visible events: real frames only, minus the skip_lead overlap
+    valid = valid & (frame < frames)
+    if skip_lead:
+        valid = valid & (frame >= skip_lead)
+
+    # absolute in-chunk µs (identical float exprs to decode_event_stream
+    # at t0=0) and the packed (x, y, p) payload
+    bin_start_us = ((bin_row.astype(jnp.float32) * voxel_step)
+                    * 1e6).astype(jnp.int32)
+    off_row = offsets_us[jnp.minimum(frame_row, f - 1)]
+    t_abs = rel + (bin_start_us + off_row)[:, None]
+    hw = h * w
+    rem = gvox % (p * hw)
+    p_idx = rem // hw                        # flipped P: 1 = ON
+    yx = rem % hw
+    payload = ((yx % w) << 10) | ((yx // w) << 1) | p_idx
+
+    # deltas per row: within a row the valids are a sorted prefix, so
+    # prev is a shift; the row's first event needs the previous
+    # non-empty row's last key (exclusive forward-fill over rr rows)
+    t_val = jnp.where(valid, t_abs, jnp.int32(-2147483647))
+    last = jnp.max(t_val, axis=1)
+    has = jnp.any(valid, axis=1)
+
+    # exclusive forward-fill of the last non-empty row's key: an
+    # associative combine (take the right side if it has events), so the
+    # 144-row carry runs in log2 vectorized steps instead of a 144-step
+    # sequential scan (while-loop iteration overhead measured ~ms-scale)
+    def ff2(a, b):
+        av, ah = a
+        bv, bh = b
+        return jnp.where(bh, bv, av), ah | bh
+
+    inc_val, _ = jax.lax.associative_scan(
+        ff2, (jnp.where(has, last, 0), has))
+    prev_last = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), inc_val[:-1]])
+    prev = jnp.concatenate([prev_last[:, None], t_abs[:, :-1]], axis=1)
+    delta = t_abs - prev
+    marker = (1 << delta_bits) - 1
+    pbits = 10 + x_bits
+    is_exc = valid & ((delta < 0) | (delta >= marker))
+    delta_enc = jnp.where(is_exc, marker, jnp.maximum(delta, 0))
+    recs_rows = (delta_enc << pbits) | payload
+
+    flat_cap = rr * wd
+    worst_rec = (marker << pbits) | ((w - 1) << 10) | ((h - 1) << 1) | 1
+    if 0 <= worst_rec < np.iinfo(np.int32).max:
+        # one-word merge: the record itself is the key (INVALID marks
+        # empty slots — unreachable for real records by the bound above)
+        out_recs, _, kept, _ = merge_sorted_rows(
+            jnp.where(valid, recs_rows, INVALID), (), nb=rr, cap=flat_cap)
+        # tail slots hold INVALID — deterministic, and the host decode
+        # slices to ceil(kept/32) words, so no extra zeroing pass
+        recs_flat = out_recs[0]
+    else:
+        out_t, (out_recs,), kept, _ = merge_sorted_rows(
+            jnp.where(valid, t_abs, INVALID),
+            [jnp.where(valid, recs_rows, 0)], nb=rr, cap=flat_cap)
+        recs_flat = out_recs[0]
+    kept = kept[0]
+    words = pack_bits(recs_flat, pbits + delta_bits)
+
+    # side list: markers in stream order. Per (frame, bin) row a
+    # monotone strategy is bounded physically (row spans one bin:
+    # <= span/marker + 1 markers); 'random' rows are non-monotone, so
+    # every event can be a marker
+    if strategy == "random":
+        side_row_cap = wd
+        side_chunk = min(4096, wd)
+    else:
+        # monotone rows span one bin: markers <= span/marker + 1 << 4096;
+        # chunk 4096 balances butterfly stages against per-chunk cost
+        # (tools/perf_probe.py compact_block sweep)
+        side_chunk = 4096 if wd >= 4096 else wd
+        side_row_cap = side_chunk
+    side_cand = jnp.where(is_exc, t_abs, INVALID)
+    side_rows, _, _, ns_tot = compact_rows(
+        side_cand, (), cap=side_row_cap, chunk=side_chunk, algo="place")
+    # clamp to the physical max (every slot a marker) so an over-generous
+    # caller cap can't inflate the merge accumulator
+    side_cap_eff = min(-(-side_cap // 128) * 128, rr * side_rows.shape[1])
+    side_flat, _, n_side, _ = merge_sorted_rows(
+        side_rows, (), nb=rr, cap=side_cap_eff)
+    side_total = ns_tot.sum()
+    return words, kept, side_flat[0], n_side[0], side_total, dropped
+
+
+def _fetch_chunk_events_fused(voxels: jax.Array, key: jax.Array,
+                              offsets_us: jax.Array, frames: int,
+                              scfg, fps: int, skip_lead: int = 0,
+                              base_us: int = 0,
+                              width: int = 512) -> np.ndarray:
+    """Fused-path twin of _fetch_chunk_events: sampler + flatten in one
+    dispatch, with the same adaptive dense/sparse wire-format switch."""
+    from v2ce_toolbox_tpu.events import EVENT_DTYPE
+
+    f = voxels.shape[0]
+    span = int((f + 1) * 1e6 / fps) + 2
+    monotone = scfg.additional_events_strategy != "random"
+    x_bits = _x_bits_for_width(width)
+    bits = DELTA_BITS
+    scap = _side_cap(f, scfg.event_capacity, span, bits, monotone)
+    words, kept, side_key, n_side, side_total = _sample_flatten_window(
+        voxels, key, offsets_us, scfg=scfg, frames=frames, fps=fps,
+        skip_lead=skip_lead, side_cap=scap, delta_bits=bits,
+        x_bits=x_bits)[:5]
+    n, m = int(kept), int(n_side)
+    assert int(side_total) == m <= scap, (int(side_total), m, scap)
+    if m > n * _SPARSE_SWITCH:
+        bits = _sparse_delta_bits(x_bits)
+        scap = _side_cap(f, scfg.event_capacity, span, bits, monotone)
+        words, kept, side_key, n_side, side_total = _sample_flatten_window(
+            voxels, key, offsets_us, scfg=scfg, frames=frames, fps=fps,
+            skip_lead=skip_lead, side_cap=scap, delta_bits=bits,
+            x_bits=x_bits)[:5]
+        n, m = int(kept), int(n_side)
+        assert int(side_total) == m <= scap, (int(side_total), m, scap)
+    ts, x_, y_, p_ = _decode_packed_events(
+        np.asarray(words[:, :-(-n // 32)]), side_key[:m], n,
+        delta_bits=bits, x_bits=x_bits)
+    out = np.zeros(n, dtype=EVENT_DTYPE)
+    out["timestamp"] = ts + np.int64(base_us)
+    out["x"], out["y"], out["polarity"] = x_, y_, p_
+    return out
+
+
+def _fused_flatten_ok(scfg, p: int, h: int, w: int, fps: int) -> bool:
+    """Gate for the fused sampler+flatten path (falls back to
+    sample_events + _flatten_chunk_stream otherwise)."""
+    from v2ce_toolbox_tpu.ops.ldati import supports_rows
+
+    return (not scfg.bidirectional
+            and scfg.pooling_type in ("none", "avg", "weighted")
+            and supports_rows(
+                p, h, w, fps=fps,
+                additional_events_strategy=scfg.additional_events_strategy,
+                pooling_type=scfg.pooling_type))
+
+
 def _decode_packed_events(words: np.ndarray, side_key: np.ndarray, n: int,
                           delta_bits: int = DELTA_BITS, x_bits: int = 9):
     """Host-side decode of the bit-packed wire format: returns (t_us
@@ -178,7 +394,8 @@ def _decode_packed_events(words: np.ndarray, side_key: np.ndarray, n: int,
 
 def _fetch_chunk_events(s: EventStream, offsets_us: jax.Array, frames: int,
                         fps: float, skip_lead: int = 0,
-                        base_us: int = 0, width: int = 512) -> np.ndarray:
+                        base_us: int = 0, width: int = 512,
+                        monotone: bool = True) -> np.ndarray:
     """Flatten + fetch + decode one chunk's events as a structured array,
     adapting the wire format to stream density: dispatch the 3-bit-delta
     flatten first (device cost ~1-2 ms), and if its side list says the
@@ -199,7 +416,7 @@ def _fetch_chunk_events(s: EventStream, offsets_us: jax.Array, frames: int,
     cap = int(s.t_us.shape[1])
     x_bits = _x_bits_for_width(width)
     bits = DELTA_BITS
-    scap = _side_cap(frames, cap, span, bits)
+    scap = _side_cap(frames, cap, span, bits, monotone)
     words, kept, side_key, n_side, side_total = _flatten_chunk_stream(
         s, offsets_us, frames, skip_lead=skip_lead, side_cap=scap,
         delta_bits=bits, x_bits=x_bits)
@@ -207,7 +424,7 @@ def _fetch_chunk_events(s: EventStream, offsets_us: jax.Array, frames: int,
     assert int(side_total) == m <= scap
     if m > n * _SPARSE_SWITCH:
         bits = _sparse_delta_bits(x_bits)
-        scap = _side_cap(frames, cap, span, bits)
+        scap = _side_cap(frames, cap, span, bits, monotone)
         words, kept, side_key, n_side, side_total = _flatten_chunk_stream(
             s, offsets_us, frames, skip_lead=skip_lead, side_cap=scap,
             delta_bits=bits, x_bits=x_bits)
@@ -416,13 +633,9 @@ class V2cePipeline:
             v = jnp.concatenate(
                 [v, jnp.zeros((pad, *v.shape[1:]), v.dtype)], axis=0)
 
+        fused = _fused_flatten_ok(cfg.sampler, 2, h, w, cfg.fps)
         parts = []
         for i in range(n_chunks):
-            s = sample_events(
-                v[i * chunk:(i + 1) * chunk],
-                jax.random.fold_in(key, i),
-                **cfg.sampler.sample_kwargs(fps=cfg.fps),
-            )
             base = i * chunk
             frames = min(chunk, t - base)
             offsets64 = ((np.arange(chunk) + base) / cfg.fps * 1e6
@@ -430,9 +643,21 @@ class V2cePipeline:
             base_us = int(offsets64[0])
             rel = offsets64 - base_us           # in-chunk: spans chunk/fps s
             assert rel[-1] + 2e6 < 2 ** 31
+            rel_j = jnp.asarray(rel.astype(np.int32))
+            ckey = jax.random.fold_in(key, i)
+            if fused:
+                parts.append(_fetch_chunk_events_fused(
+                    v[i * chunk:(i + 1) * chunk], ckey, rel_j, frames,
+                    cfg.sampler, cfg.fps, base_us=base_us, width=w))
+                continue
+            s = sample_events(
+                v[i * chunk:(i + 1) * chunk], ckey,
+                **cfg.sampler.sample_kwargs(fps=cfg.fps),
+            )
             parts.append(_fetch_chunk_events(
-                s, jnp.asarray(rel.astype(np.int32)), frames, cfg.fps,
-                base_us=base_us, width=w))
+                s, rel_j, frames, cfg.fps, base_us=base_us, width=w,
+                monotone=cfg.sampler.additional_events_strategy
+                != "random"))
         return np.concatenate(parts) if parts else np.zeros(0)
 
     # -- full run ---------------------------------------------------------
@@ -598,19 +823,25 @@ class V2cePipeline:
 
                 is_last = i == len(starts) - 1
                 skip = (cfg.seq_len - mode) if (is_last and mode) else 0
-                s = sample_events(
-                    v, jax.random.fold_in(key, i),
-                    **cfg.sampler.sample_kwargs(fps=cfg.fps),
-                )
                 offsets64 = ((np.arange(cfg.seq_len) + int(start)) / cfg.fps
                              * 1e6).astype(np.int64)
                 base_us = int(offsets64[0])     # window-rebased: any length
                 if cfg.write_event_frame_video:
                     ef_sums.append(v.sum(axis=2)[skip:])  # (16-skip,2,H,W)
-                parts.append(_fetch_chunk_events(
-                    s, jnp.asarray((offsets64 - base_us).astype(np.int32)),
-                    cfg.seq_len, cfg.fps, skip_lead=skip, base_us=base_us,
-                    width=w_out))
+                rel_j = jnp.asarray((offsets64 - base_us).astype(np.int32))
+                wkey = jax.random.fold_in(key, i)
+                if _fused_flatten_ok(cfg.sampler, 2, h_out, w_out, cfg.fps):
+                    parts.append(_fetch_chunk_events_fused(
+                        v, wkey, rel_j, cfg.seq_len, cfg.sampler, cfg.fps,
+                        skip_lead=skip, base_us=base_us, width=w_out))
+                else:
+                    s = sample_events(
+                        v, wkey, **cfg.sampler.sample_kwargs(fps=cfg.fps))
+                    parts.append(_fetch_chunk_events(
+                        s, rel_j, cfg.seq_len, cfg.fps, skip_lead=skip,
+                        base_us=base_us, width=w_out,
+                        monotone=cfg.sampler.additional_events_strategy
+                        != "random"))
         if vidcap is not None:
             vidcap.close()
 
