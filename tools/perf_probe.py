@@ -2449,6 +2449,287 @@ def probe_fused_phases():
 PROBES["fused_phases"] = probe_fused_phases
 
 
+def _frontpack_op_count(window, n_pay, lanes=128):
+    """Static vector-op count of compact_pallas._front_pack per chunk.
+
+    Counts each Mosaic vector instruction (roll / xor / compare / select /
+    add) applied to the full (S, 128) tile, mirroring the kernel source
+    line for line: _flat_push is 5 tile-ops for d < lanes (2 rolls of the
+    shifted copy, 1 lane roll, 2 selects) and 2 for d >= lanes (1 sublane
+    roll + 1 bounds select); _flat_pull is 5 / 2 likewise. The route
+    phase pulls key + delta + each payload and applies the pull/keep
+    masks (3 + 3 compares) and 2 selects per routed array."""
+    ops = 2                       # delta init: compare + select
+    d = 1
+    while d < window:             # exclusive prefix scan of invalids
+        ops += (5 if d < lanes else 2) + 1           # push + add
+        d <<= 1
+    d = 1
+    while d < window:             # LSB-first pull routing
+        pull = 5 if d < lanes else 2
+        ops += pull * (2 + n_pay)                    # key, delta, payloads
+        ops += 3 + 3                                 # pull / keep masks
+        ops += 2 * (1 + n_pay) + 2                   # selects + delta upd
+        d <<= 1
+    return ops
+
+
+def probe_stage2_roofline():
+    """Stage-2 roofline (VERDICT r4 missing #4): measure a synthetic
+    Mosaic vector-op ceiling and a Mosaic HBM-stream ceiling at the chain
+    compaction's exact grid shape, count the compactor's per-chunk vector
+    ops from the kernel source, and compare every sampler phase against
+    its bound. Also prices the radix-on-compactor sort alternative
+    (VERDICT r4 next-round item 1a) with measured rates."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from v2ce_toolbox_tpu.ops.compact_pallas import INVALID, compact_rows
+    from v2ce_toolbox_tpu.ops.gen_pallas import gen_pack
+
+    LANES = 128
+    r, chunk = 144, 16384         # 16 frames x 9 bins; the measured knee
+    sc = chunk // LANES
+    n_chunks = -(-(2 * 260 * 346) // chunk)          # 11: padded seg width
+    n = n_chunks * chunk
+    total_el = r * n
+
+    rng = np.random.RandomState(0)
+    x_j = jnp.asarray(
+        rng.randint(0, 1 << 30, (r, n_chunks, sc, LANES)).astype(np.int32))
+
+    def perturb_int(args, acc):
+        return tuple((a + (acc * 1e-12).astype(jnp.int32)
+                      if a.dtype == jnp.int32 else a) for a in args)
+
+    # --- 1. synthetic vector-op ceiling: k alternating roll/xor/
+    # sublane-roll/select ops per element, same grid + block shape as the
+    # compactor (the op mix mirrors _front_pack: rolls on both axes,
+    # compares, selects). Two k points; the slope isolates the per-op
+    # cost from grid/DMA overheads shared with the real kernel.
+    def make_op_kernel(k):
+        def kern(x_ref, o_ref):
+            ci = pl.program_id(1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (sc, LANES), 1)
+            x = x_ref[0, 0]
+            for _ in range(k // 4):
+                x = pltpu.roll(x, 1, axis=1)
+                x = x ^ lane
+                x = pltpu.roll(x, 1, axis=0)
+                x = jnp.where(lane < 64, x, x + 1)
+
+            @pl.when(ci == n_chunks - 1)
+            def _():
+                o_ref[0] = x
+        return kern
+
+    def time_ops(k):
+        def fn(args):
+            xx, = args
+            out = pl.pallas_call(
+                make_op_kernel(k),
+                grid=(r, n_chunks),
+                in_specs=[pl.BlockSpec((1, 1, sc, LANES),
+                                       lambda ri, ci: (ri, ci, 0, 0),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((1, sc, LANES),
+                                       lambda ri, ci: (ri, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((r, sc, LANES), jnp.int32),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary", "arbitrary")),
+            )(xx)
+            return ((out[:, ::17] % 97).sum(),)
+        return timed_loop(fn, (x_j,), n_iters=10, perturb=perturb_int)
+
+    t64, t256 = time_ops(64), time_ops(256)
+    op_rate = (256 - 64) * total_el / (t256 - t64)   # el-ops / s
+    print(f"synthetic vector-op kernel (serial chain): k=64 {t64*1e3:.2f} "
+          f"ms, k=256 {t256*1e3:.2f} ms -> sustained "
+          f"{op_rate/1e12:.2f} T el-ops/s", flush=True)
+
+    # --- 1b. ILP ceiling: 4 independent op chains interleaved — the real
+    # kernel's pulls of key/delta/payload are independent, so its issue
+    # rate can exceed the serial-chain rate; this measures how far.
+    def make_ilp_kernel(k):
+        def kern(x_ref, o_ref):
+            ci = pl.program_id(1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (sc, LANES), 1)
+            xs = [x_ref[0, 0] + i for i in range(4)]
+            for _ in range(k // 16):
+                xs = [pltpu.roll(x, 1, axis=1) for x in xs]
+                xs = [x ^ lane for x in xs]
+                xs = [pltpu.roll(x, 1, axis=0) for x in xs]
+                xs = [jnp.where(lane < 64, x, x + 1) for x in xs]
+
+            @pl.when(ci == n_chunks - 1)
+            def _():
+                o_ref[0] = xs[0] ^ xs[1] ^ xs[2] ^ xs[3]
+        return kern
+
+    def time_ilp(k):
+        def fn(args):
+            xx, = args
+            out = pl.pallas_call(
+                make_ilp_kernel(k),
+                grid=(r, n_chunks),
+                in_specs=[pl.BlockSpec((1, 1, sc, LANES),
+                                       lambda ri, ci: (ri, ci, 0, 0),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((1, sc, LANES),
+                                       lambda ri, ci: (ri, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((r, sc, LANES), jnp.int32),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary", "arbitrary")),
+            )(xx)
+            return ((out[:, ::17] % 97).sum(),)
+        return timed_loop(fn, (x_j,), n_iters=10, perturb=perturb_int)
+
+    ti64, ti256 = time_ilp(64), time_ilp(256)
+    ilp_rate = (256 - 64) * total_el / (ti256 - ti64)
+    print(f"synthetic vector-op kernel (4 indep chains): k=64 "
+          f"{ti64*1e3:.2f} ms, k=256 {ti256*1e3:.2f} ms -> sustained "
+          f"{ilp_rate/1e12:.2f} T el-ops/s "
+          f"({ilp_rate/op_rate:.2f}x serial)", flush=True)
+
+    # --- 2. Mosaic HBM stream ceiling at the same grid (read + write)
+    def copy_kern(x_ref, o_ref):
+        o_ref[0, 0] = x_ref[0, 0]
+
+    def fn_copy(args):
+        xx, = args
+        out = pl.pallas_call(
+            copy_kern,
+            grid=(r, n_chunks),
+            in_specs=[pl.BlockSpec((1, 1, sc, LANES),
+                                   lambda ri, ci: (ri, ci, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, 1, sc, LANES),
+                                   lambda ri, ci: (ri, ci, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((r, n_chunks, sc, LANES),
+                                           jnp.int32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary")),
+        )(xx)
+        return ((out[:, :, ::17, 0] % 97).sum(),)
+
+    t_copy = timed_loop(fn_copy, (x_j,), n_iters=10, perturb=perturb_int)
+    stream_rate = 2 * total_el * 4 / t_copy          # bytes/s, in + out
+    print(f"mosaic stream copy (64 KB blocks, {r * n_chunks} steps): "
+          f"{t_copy*1e3:.2f} ms -> {stream_rate/1e9:.0f} GB/s (read+write)",
+          flush=True)
+
+    # --- 2b. same copy with full-row blocks (704 KB, 144 steps): the
+    # delta vs 2a isolates the fixed per-grid-step cost from bandwidth
+    def copy_row_kern(x_ref, o_ref):
+        o_ref[0] = x_ref[0]
+
+    def fn_copy_row(args):
+        xx, = args
+        out = pl.pallas_call(
+            copy_row_kern,
+            grid=(r,),
+            in_specs=[pl.BlockSpec((1, n_chunks, sc, LANES),
+                                   lambda ri: (ri, 0, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, n_chunks, sc, LANES),
+                                   lambda ri: (ri, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((r, n_chunks, sc, LANES),
+                                           jnp.int32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+        )(xx)
+        return ((out[:, :, ::17, 0] % 97).sum(),)
+
+    t_copy_row = timed_loop(fn_copy_row, (x_j,), n_iters=10,
+                            perturb=perturb_int)
+    row_rate = 2 * total_el * 4 / t_copy_row
+    step_fixed_us = max(t_copy - t_copy_row, 0.0) / (r * n_chunks - r) * 1e6
+    print(f"mosaic stream copy (704 KB blocks, {r} steps): "
+          f"{t_copy_row*1e3:.2f} ms -> {row_rate/1e9:.0f} GB/s; implied "
+          f"fixed cost ~{step_fixed_us:.2f} us per grid step", flush=True)
+
+    # --- 3. chain compaction at the exact sampler shape + payload
+    keys_np = np.where(rng.rand(r, n) < 0.1,
+                       rng.randint(0, 1 << 30, (r, n)),
+                       INVALID).astype(np.int32)
+    pays_np = np.where(keys_np != INVALID,
+                       rng.randint(1, 1 << 20, (r, n)), 0).astype(np.int32)
+    keys_j, pays_j = jnp.asarray(keys_np), jnp.asarray(pays_np)
+
+    def fn_compact(args):
+        kk, pp = args
+        o, (op,), k, t = compact_rows(kk, [pp], cap=1 << 14, chunk=chunk,
+                                      algo="place")
+        return (o[:, ::127].astype(jnp.int32).sum() + (op[:, ::127] % 31
+                                                       ).sum(),
+                k.sum(), t.sum())
+
+    t_comp = timed_loop(fn_compact, (keys_j, pays_j), n_iters=10,
+                        perturb=perturb_int)
+    comp_rate = total_el / t_comp
+    ops_per_chunk = _frontpack_op_count(chunk, n_pay=1)
+    place_ops = 2 * 8 + 6                            # 2 places + pop amort
+    bound_s = (ops_per_chunk + place_ops) * (total_el // chunk) * chunk \
+        / op_rate
+    print(f"chain compaction (place, +payload): {t_comp*1e3:.2f} ms "
+          f"({comp_rate/1e9:.2f} Gelem/s); counted "
+          f"{ops_per_chunk + place_ops} vector ops/chunk -> op-bound "
+          f"{bound_s*1e3:.2f} ms -> {bound_s/t_comp*100:.0f}% of bound",
+          flush=True)
+
+    # --- 4. the final per-bin sort at its exact shape, vs the radix
+    # alternative priced with the measured compactor rate
+    sort_in = jnp.asarray(np.where(
+        rng.rand(r, 1 << 14) < 0.6,
+        rng.randint(0, 1 << 30, (r, 1 << 14)), INVALID).astype(np.int32))
+
+    def fn_sort(args):
+        ss, = args
+        out = lax.sort(ss, dimension=1)
+        return ((out[:, ::127] % 97).sum(),)
+
+    t_sort = timed_loop(fn_sort, (sort_in,), n_iters=10,
+                        perturb=perturb_int)
+    sort_el = r * (1 << 14)
+    bits = 13                     # sub-bin rel-us at fps=30, cb=9: <= 3704
+    radix_s = 2 * bits * sort_el / comp_rate
+    print(f"final sort (144, 16384): {t_sort*1e3:.2f} ms "
+          f"({sort_el/t_sort/1e9:.2f} Gelem/s); radix-on-compactor "
+          f"alternative = 2x{bits} stable partition passes = "
+          f"{radix_s*1e3:.1f} ms ({radix_s/t_sort:.1f}x SLOWER)",
+          flush=True)
+
+    # --- 5. fused generation kernel vs its stream + op bounds
+    v = jnp.asarray((rng.rand(16, 2, 10, 260, 346) < 0.1).astype(np.float32)
+                    * rng.rand(16, 2, 10, 260, 346).astype(np.float32) * 4)
+
+    def fn_gen(args):
+        vv, = args
+        kg, kxg, emit, drop = gen_pack(vv, fps=30, t0=0.0, strategy="slope",
+                                       mepv=32, vox_bits=18)
+        return ((kg[:, :, :, ::37, 0] % 97).sum(),
+                (kxg[:, :, :, ::37, 0] % 31).sum(), emit.sum(), drop.sum())
+
+    t_gen = timed_loop(fn_gen, (v,), n_iters=10)
+    gen_el = 16 * 9 * 2 * 260 * 346
+    gen_bytes = (16 * 2 * 10 * 260 * 346 + 2 * gen_el) * 4
+    gen_stream_s = gen_bytes / stream_rate
+    gen_ops = 25                  # relocate ~6 + ts/key pack ~8 + kx ~7 +
+    gen_op_s = gen_ops * gen_el / op_rate            # emit/drop sums ~4
+    print(f"gen kernel: {t_gen*1e3:.2f} ms; stream bound "
+          f"{gen_stream_s*1e3:.2f} ms, ~{gen_ops} op bound "
+          f"{gen_op_s*1e3:.2f} ms -> "
+          f"{max(gen_stream_s, gen_op_s)/t_gen*100:.0f}% of bound",
+          flush=True)
+
+
+PROBES["stage2_roofline"] = probe_stage2_roofline
+
+
 if __name__ == "__main__":
     from v2ce_toolbox_tpu.utils.jax_setup import enable_compilation_cache
 
