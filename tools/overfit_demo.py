@@ -120,12 +120,36 @@ def main(argv=None):
 
     trajectory = []
     reached_at = None
-    f1 = 0.0
+    f1 = best_f1 = 0.0
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+
+    def write_artifact():
+        # written at EVERY eval so a wall-clock kill still leaves the
+        # trajectory on disk
+        out = {
+            "task": "overfit dummy packets, full loss stack incl. GAN, "
+                    f"{args.devices}-device mesh",
+            "loss": cfg.loss,
+            "model": "V2ce3d base16 full arch",
+            "batch": [b, seq, h, w],
+            "target_BinaryMatchF1_sum_c": args.target,
+            "reference_checkpoint_val_level": 0.5372,
+            "reached_at_step": reached_at,
+            "final_BinaryMatchF1_sum_c": round(f1, 4),
+            "best_BinaryMatchF1_sum_c": round(best_f1, 4),
+            "trajectory": trajectory,
+            "wall_s": round(time.time() - t_start, 1),
+            "devices": args.devices,
+        }
+        with open(args.out, "w") as fh:
+            json.dump(out, fh, indent=1)
+
     for step in range(1, args.steps + 1):
         state, logs = train_step(state, sharded)
         if step % args.eval_every == 0 or step == 1:
             m = eval_step(state, sharded)
             f1 = float(m["BinaryMatchF1_sum_c"])
+            best_f1 = max(best_f1, f1)
             trajectory.append({
                 "step": step,
                 "loss": float(logs["loss"]),
@@ -136,25 +160,11 @@ def main(argv=None):
                   f"train_BinaryMatchF1_sum_c {f1:.4f}", flush=True)
             if reached_at is None and f1 >= args.target:
                 reached_at = step
+            write_artifact()
+            if reached_at is not None:
                 break
 
-    out = {
-        "task": "overfit 8 dummy packets, full loss stack incl. GAN, "
-                "8-device mesh",
-        "loss": cfg.loss,
-        "model": "V2ce3d base16 full arch",
-        "batch": [b, seq, h, w],
-        "target_BinaryMatchF1_sum_c": args.target,
-        "reference_checkpoint_val_level": 0.5372,
-        "reached_at_step": reached_at,
-        "final_BinaryMatchF1_sum_c": round(f1, 4),
-        "trajectory": trajectory,
-        "wall_s": round(time.time() - t_start, 1),
-        "devices": args.devices,
-    }
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    with open(args.out, "w") as f:
-        json.dump(out, f, indent=1)
+    write_artifact()
     ok = reached_at is not None
     print(f"overfit_demo {'ok' if ok else 'DID NOT REACH TARGET'}: "
           f"BinaryMatchF1_sum_c {f1:.4f} "

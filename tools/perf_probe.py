@@ -2730,6 +2730,66 @@ def probe_stage2_roofline():
 PROBES["stage2_roofline"] = probe_stage2_roofline
 
 
+def probe_gen_compact():
+    """Fused gen+chain-compaction (ops/gen_pallas.gen_compact) vs the
+    gen_pack -> compact_rows chain, isolated and inside the full rows
+    path, at the bench shape."""
+    import jax
+
+    from v2ce_toolbox_tpu.ops.compact_pallas import compact_rows
+    from v2ce_toolbox_tpu.ops.gen_pallas import gen_compact, gen_pack
+    from v2ce_toolbox_tpu.ops.ldati import sample_events
+
+    rng = np.random.RandomState(0)
+    f, p, c, h, w = 16, 2, 10, 260, 346
+    v = jnp.asarray((rng.rand(f, p, c, h, w) < 0.1).astype(np.float32)
+                    * rng.rand(f, p, c, h, w).astype(np.float32) * 4)
+    key = jax.random.key(0)
+    seg = p * h * w
+    seg_bits = int(np.ceil(np.log2(seg)))
+
+    def fn_unfused(args):
+        vv, = args
+        keys, kx, emit, drop = gen_pack(vv, fps=30, t0=0.0,
+                                        strategy="slope", mepv=32,
+                                        vox_bits=seg_bits)
+        ck, (ckx,), kept, tot = compact_rows(
+            keys.reshape(f * (c - 1), seg), [kx.reshape(f * (c - 1), seg)],
+            cap=1 << 14, chunk=16384, algo="place")
+        return ((ck[:, ::127] % 97).sum() + (ckx[:, ::127] % 31).sum(),
+                kept.sum(), tot.sum(), emit.sum(), drop.sum())
+
+    def fn_fused(args):
+        vv, = args
+        ck, ckx, kept, tot, emit, drop = gen_compact(
+            vv, fps=30, t0=0.0, strategy="slope", mepv=32,
+            vox_bits=seg_bits, cap_bin=1 << 14)
+        return ((ck[:, ::127] % 97).sum() + (ckx[:, ::127] % 31).sum(),
+                kept.sum(), tot.sum(), emit.sum(), drop.sum())
+
+    for name, fn in (("gen_pack + compact_rows", fn_unfused),
+                     ("gen_compact (fused)", fn_fused)):
+        dt = timed_loop(fn, (v,), n_iters=10)
+        print(f"{name}: {dt*1e3:.2f} ms", flush=True)
+
+    for flag in (False, True):
+        def fn_rows(args, flag=flag):
+            vv, = args
+            rel, gvox, te, cd = sample_events(
+                vv, key, capacity=1 << 19, return_rows=True,
+                use_gen_compact=flag)
+            return ((rel[:, ::255] % 97).sum() + (gvox[:, ::255] % 83
+                                                 ).sum(),
+                    te.sum(), cd.sum())
+
+        dt = timed_loop(fn_rows, (v,), n_iters=10)
+        print(f"sampler rows path (use_gen_compact={flag}): "
+              f"{dt*1e3:.2f} ms", flush=True)
+
+
+PROBES["gen_compact"] = probe_gen_compact
+
+
 if __name__ == "__main__":
     from v2ce_toolbox_tpu.utils.jax_setup import enable_compilation_cache
 

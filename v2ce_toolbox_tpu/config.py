@@ -113,6 +113,7 @@ class SamplerConfig:
     cap_bin: int = 1 << 14        # chain events kept per (frame, bin) row
     multi_cap: int = 4096         # multi-event voxel pool per row
     sort_cap: Optional[int] = 1 << 14  # pre-sort row compaction width
+    use_gen_compact: bool = True  # fuse generation + chain compaction
 
     def sample_kwargs(self, fps: Optional[int] = None) -> dict:
         """kwargs for ops.ldati.sample_events (everything but voxels/key).
@@ -130,6 +131,7 @@ class SamplerConfig:
             capacity=self.event_capacity,
             cap_bin=self.cap_bin, multi_cap=self.multi_cap,
             sort_cap=self.sort_cap,
+            use_gen_compact=self.use_gen_compact,
         )
 
 

@@ -35,6 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 INVALID = np.int32(np.iinfo(np.int32).max)
 _LANES = 128
+_INT32_MIN = np.int32(np.iinfo(np.int32).min)
 
 
 def _block_rows(h: int) -> int:
@@ -263,3 +264,346 @@ def gen_pack(voxels: jax.Array, *, fps: int, t0: float, strategy: str,
     emit = sums[:, 0, 0]
     drop = sums[:, 0, 1] if with_kx else jnp.zeros((bb,), jnp.int32)
     return keys, kx, emit, drop
+
+
+# ---------------------------------------------------------------------------
+# Fused generation + chain compaction
+# ---------------------------------------------------------------------------
+#
+# gen_pack writes the (B, C-1, P, H, W) keys/kx grids to HBM (~208 MB per
+# 16-frame 260x346 window) only for the chain compaction to stream them
+# straight back in.  At the measured Mosaic stream rate that round trip is
+# the compaction's DMA floor (tools/perf_probe.py stage2_roofline).
+# `gen_compact` fuses both passes: the same per-column relocation/slope/
+# key-packing math runs on (H, 128) column blocks, each bin's candidates
+# are front-packed per 128-sublane sub-chunk and placed into a per-bin
+# VMEM accumulator (the `place` algorithm of compact_pallas), and only the
+# compacted (frame*bin, cap_bin) rows ever reach HBM.
+#
+# Candidate order within a row becomes (polarity, w-block, h, w%128)
+# instead of the unfused (polarity, h, w).  The downstream per-row sort
+# canonicalizes order (ties break on the voxel id packed in the key's low
+# bits, which encodes the TRUE grid position either way), so the final
+# event stream is bit-identical to the unfused path whenever the capacity
+# knobs don't bind; for W <= 128 the processing order coincides and the
+# paths are bit-identical unconditionally (tests/test_gen_pallas.py).
+# Under cap_bin/multi_cap overflow the two paths drop *different* whole
+# chunks — both account the loss exactly via `dropped`.
+
+
+def supported_compact(h: int, w: int, strategy: str, mepv: int,
+                      chunk: int = 16384) -> bool:
+    """Whether the fused gen+compact kernel covers this configuration.
+
+    Uncovered corners (bidirectional relocation, spatial pooling, the
+    'random' strategy, mepv == 1 slope, VMEM blow-ups) fall back to
+    `gen_pack` + `compact_rows`, then to the pure-XLA path."""
+    if strategy not in ("none", "slope"):
+        return False
+    if strategy == "slope" and mepv <= 1:
+        return False
+    n_pay = 1 if strategy == "slope" else 0
+    sc = chunk // _LANES
+    cb = 9
+    vmem = (2 * 11 * h * _LANES * 4            # double-buffered input block
+            + cb * (1 + n_pay) * (sc + h + 1) * _LANES * 4   # accumulators
+            + (1 + n_pay) * sc * _LANES * 4                  # send buffer
+            + (6 + 2 * cb) * h * _LANES * 4)   # live temporaries
+    return vmem <= 90 * 1024 * 1024
+
+
+def _gen_compact_kernel(v_ref, *rest, cb, p, h, w, n_wi, fps_f, cbf, vs2,
+                        bs_f, bs_us, vox_bits, ts_cap, mepv, with_kx,
+                        chunk, cap_chunks):
+    from v2ce_toolbox_tpu.ops.compact_pallas import _front_pack, _roll
+
+    n_pay = 1 if with_kx else 0
+    out_keys = rest[0]
+    out_kx = rest[1] if with_kx else None
+    sums_ref = rest[1 + n_pay]
+    acc = rest[2 + n_pay]         # VMEM (cb, 1+n_pay, 2*sc+1, 128)
+    send = rest[3 + n_pay]        # VMEM (1+n_pay, sc, 128)
+    state = rest[-3]              # SMEM (cb, 4): pend, cidx, total, kept
+    fsums = rest[-2]              # SMEM (2,): frame emit, cap-drop
+    sem = rest[-1]
+
+    b = pl.program_id(0)
+    po = pl.program_id(1)
+    wi = pl.program_id(2)
+    sc = chunk // _LANES
+
+    @pl.when((po == 0) & (wi == 0))
+    def _():
+        fsums[0] = 0
+        fsums[1] = 0
+        for ci in range(cb):
+            state[ci, 0] = 0
+            state[ci, 1] = 0
+            state[ci, 2] = 0
+            state[ci, 3] = 0
+            acc[ci, 0] = jnp.full_like(acc[ci, 0], INVALID)
+            for i in range(n_pay):
+                acc[ci, 1 + i] = jnp.zeros_like(acc[ci, 1 + i])
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (h, _LANES), 1)
+    rows_g = jax.lax.broadcasted_iota(jnp.int32, (h, _LANES), 0)
+    col = wi * _LANES + lane
+    in_col = col < w              # the last W block reads padding lanes
+
+    # --- relocation: identical f32 op sequence to _gen_kernel (the
+    # debt scan is per-column, and the wi blocks cover disjoint columns,
+    # so every covered column computes bit-identically) ----
+    debt = jnp.zeros((h, _LANES), jnp.float32)
+    counts = []
+    tend = []
+    for ci in range(cb):
+        yb = v_ref[0, 0, ci]
+        avail = yb - debt
+        cf = jnp.ceil(avail - 1e-6)
+        debt = cf - avail
+        counts.append(cf.astype(jnp.int32))
+        tend.append(debt)
+    counts[cb - 1] = counts[cb - 1] + (
+        v_ref[0, 0, cb] - debt).astype(jnp.int32)
+    cnt_f = [c.astype(jnp.float32) for c in counts]
+
+    vox = (po * h + rows_g) * w + col
+
+    emit_acc = jnp.zeros((), jnp.int32)
+    drop_acc = jnp.zeros((), jnp.int32)
+
+    for ci in range(cb):
+        cnt = counts[ci]
+        is_chain = cnt == 1
+        if with_kx:
+            emit = jnp.where(is_chain, 1, jnp.minimum(cnt, mepv))
+            emit = jnp.maximum(emit, 0)
+        else:
+            emit = is_chain.astype(jnp.int32)
+        emit = jnp.where(in_col, emit, 0)   # padding lanes never emit
+
+        ts_us = ((tend[ci] / fps_f / cbf + bs_f[ci])
+                 * jnp.float32(1e6)).astype(jnp.int32)
+        rel = jnp.clip(ts_us - bs_us[ci], 0, ts_cap)
+        if with_kx:
+            rel = jnp.where(is_chain, rel, 0)
+        key = jnp.where(emit > 0, (rel << vox_bits) | vox, INVALID)
+
+        pays = []
+        if with_kx:
+            if ci == 0 or ci == cb - 1:
+                k = jnp.zeros((h, _LANES), jnp.float32)
+            else:
+                k_raw = (cnt_f[ci + 1] - cnt_f[ci - 1]) * jnp.float32(0.5)
+                k = k_raw / vs2 / (cnt_f[ci] + jnp.float32(1e-8))
+            extra = jnp.minimum(jnp.maximum(cnt - 1, 0), mepv - 1)
+            extra = jnp.minimum(extra, 255)
+            kbits = pltpu.bitcast(k, jnp.int32)
+            pays = [(kbits & ~jnp.int32(0xFF)) | extra]
+            drop_acc = drop_acc + jnp.sum(
+                jnp.where(in_col & (cnt > mepv), cnt - mepv, 0))
+        emit_acc = emit_acc + jnp.sum(emit)
+
+        # --- compaction: ONE front-pack of the whole (h, 128) block,
+        # then place at this bin row's running offset with as many pops
+        # as the block can overflow (per-sub-chunk packing measured
+        # slower on chip: 3x the sequencing units for 15% fewer
+        # butterfly element-stages) ----
+        sub_w = h * _LANES
+        lane_s = jax.lax.broadcasted_iota(jnp.int32, (h, _LANES), 1)
+        flat_s = (jax.lax.broadcasted_iota(
+            jnp.int32, (h, _LANES), 0) * _LANES + lane_s)
+        k_sub, p_subs, cnt_v = _front_pack(key, list(pays), lane_s,
+                                           flat_s, sub_w)
+
+        pend = state[ci, 0]
+        state[ci, 2] = state[ci, 2] + cnt_v
+        rr = pend // _LANES
+        ll = pend % _LANES
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (h + 1, _LANES), 1)
+        gflat = (rr + jax.lax.broadcasted_iota(
+            jnp.int32, (h + 1, _LANES), 0)) * _LANES + lane2
+        window_m = (gflat >= pend) & (gflat < pend + cnt_v)
+
+        def place(tile, fill, slot, ci=ci, ll=ll, rr=rr,
+                  window_m=window_m, lane2=lane2):
+            padded = jnp.concatenate(
+                [tile, jnp.full((1, _LANES), fill, tile.dtype)], axis=0)
+            al = pltpu.roll(padded, ll, axis=1)
+            bl = pltpu.roll(_roll(padded, 1, axis=0), ll, axis=1)
+            shifted = jnp.where(lane2 >= ll, al, bl)
+            region = acc[ci, slot, pl.ds(rr, h + 1)]
+            acc[ci, slot, pl.ds(rr, h + 1)] = jnp.where(
+                window_m, shifted, region)
+
+        place(k_sub, INVALID, 0)
+        for i, ps in enumerate(p_subs):
+            place(ps, 0, 1 + i)
+
+        new_pend = pend + cnt_v
+        n_pops = (chunk - 1 + h * _LANES) // chunk
+        for _pop in range(n_pops):
+            cidx = state[ci, 1]
+
+            @pl.when((new_pend >= chunk) & (cidx < cap_chunks))
+            def _(ci=ci, cidx=cidx):
+                send[0] = acc[ci, 0, :sc]
+                copy = pltpu.make_async_copy(
+                    send.at[0], out_keys.at[b * cb + ci, cidx], sem)
+                copy.start()
+                copy.wait()
+                for i in range(n_pay):
+                    send[1 + i] = acc[ci, 1 + i, :sc]
+                    copy = pltpu.make_async_copy(
+                        send.at[1 + i], out_kx.at[b * cb + ci, cidx], sem)
+                    copy.start()
+                    copy.wait()
+                state[ci, 1] = cidx + 1
+                state[ci, 3] = state[ci, 3] + chunk
+
+            @pl.when(new_pend >= chunk)
+            def _(ci=ci):
+                fills = [jnp.full((sc, _LANES), INVALID, jnp.int32)] + [
+                    jnp.zeros((sc, _LANES), jnp.int32)] * n_pay
+                for slot in range(1 + n_pay):
+                    acc[ci, slot] = jnp.concatenate(
+                        [acc[ci, slot, sc:], fills[slot]], axis=0)
+
+            new_pend = jnp.where(new_pend >= chunk, new_pend - chunk,
+                                 new_pend)
+
+        state[ci, 0] = new_pend
+
+    fsums[0] = fsums[0] + emit_acc
+    fsums[1] = fsums[1] + drop_acc
+
+    @pl.when((po == p - 1) & (wi == n_wi - 1))
+    def _():
+        for ci in range(cb):
+            cidx2 = state[ci, 1]
+
+            @pl.when((state[ci, 0] > 0) & (cidx2 < cap_chunks))
+            def _(ci=ci, cidx2=cidx2):
+                send[0] = acc[ci, 0, :sc]
+                copy = pltpu.make_async_copy(
+                    send.at[0], out_keys.at[b * cb + ci, cidx2], sem)
+                copy.start()
+                copy.wait()
+                for i in range(n_pay):
+                    send[1 + i] = acc[ci, 1 + i, :sc]
+                    copy = pltpu.make_async_copy(
+                        send.at[1 + i], out_kx.at[b * cb + ci, cidx2], sem)
+                    copy.start()
+                    copy.wait()
+                state[ci, 3] = state[ci, 3] + state[ci, 0]
+
+            lane0 = jax.lax.broadcasted_iota(jnp.int32, (sc, _LANES), 1)
+            counts_tile = jnp.where(
+                lane0 == 0, state[ci, 3],
+                jnp.where(lane0 == 1, state[ci, 2], 0))
+            send[0] = counts_tile
+            copy = pltpu.make_async_copy(
+                send.at[0], out_keys.at[b * cb + ci, cap_chunks], sem)
+            copy.start()
+            copy.wait()
+
+        lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 1)
+        row0 = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 0) == 0
+        sums_ref[0] = jnp.where(
+            row0 & (lane8 == 0), fsums[0],
+            jnp.where(row0 & (lane8 == 1), fsums[1], 0))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fps", "t0", "strategy", "mepv", "vox_bits",
+                     "cap_bin", "chunk"))
+def gen_compact(voxels: jax.Array, *, fps: int, t0: float, strategy: str,
+                mepv: int, vox_bits: int, cap_bin: int, chunk: int = 16384
+                ) -> Tuple[jax.Array, Optional[jax.Array], jax.Array,
+                           jax.Array, jax.Array, jax.Array]:
+    """Fused relocate + slope + candidate packing + CHAIN COMPACTION.
+
+    Returns:
+      rows_keys: (B*(C-1), cap') int32 front-packed per-(frame, bin)
+        candidate rows (cap' = cap_bin rounded up to a chunk multiple),
+        INVALID beyond `kept` — drop-in for the output of
+        ``compact_rows(gen_pack(...), cap=cap_bin)``.
+      rows_kx:   same-shape slope payload rows ('slope'), else None.
+      kept:      (B*(C-1),) int32 valid count per row (min(total, cap')).
+      total:     (B*(C-1),) int32 pre-cap candidate count per row.
+      emit:      (B,) int32 per-frame emitted-candidate totals.
+      drop:      (B,) int32 per-frame over-cap (counts > mepv) drops.
+    """
+    bb, p, c, h, w = voxels.shape
+    cb = c - 1
+    n_wi = -(-w // _LANES)
+    with_kx = strategy == "slope"
+    n_pay = 1 if with_kx else 0
+    cap_chunks = -(-cap_bin // chunk)
+    cap_pad = cap_chunks * chunk
+    sc = chunk // _LANES
+    voxel_step = 1.0 / fps / cb
+    ts_cap = (1 << (31 - vox_bits)) - 2
+
+    bs_np = (np.arange(cb, dtype=np.float32) * np.float32(voxel_step)
+             + np.float32(t0))
+    bs_us_np = (bs_np * np.float32(1e6)).astype(np.int32)
+
+    kernel = functools.partial(
+        _gen_compact_kernel, cb=cb, p=p, h=h, w=w, n_wi=n_wi,
+        fps_f=np.float32(fps), cbf=np.float32(cb),
+        vs2=np.float32(voxel_step ** 2),
+        bs_f=[np.float32(v) for v in bs_np],
+        bs_us=[np.int32(v) for v in bs_us_np],
+        vox_bits=vox_bits, ts_cap=np.int32(ts_cap), mepv=mepv,
+        with_kx=with_kx, chunk=chunk, cap_chunks=cap_chunks)
+
+    out_shapes = [jax.ShapeDtypeStruct((bb * cb, cap_chunks + 1, sc,
+                                        _LANES), jnp.int32)]
+    out_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+    if with_kx:
+        out_shapes.append(jax.ShapeDtypeStruct(
+            (bb * cb, cap_chunks, sc, _LANES), jnp.int32))
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+    out_shapes.append(jax.ShapeDtypeStruct((bb, 8, _LANES), jnp.int32))
+    out_specs.append(pl.BlockSpec((1, 8, _LANES),
+                                  lambda b, po, wi: (b, 0, 0),
+                                  memory_space=pltpu.VMEM))
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(bb, p, n_wi),
+        in_specs=[pl.BlockSpec((1, 1, c, h, _LANES),
+                               lambda b, po, wi: (b, p - 1 - po, 0, 0, wi),
+                               memory_space=pltpu.VMEM)],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((cb, 1 + n_pay, sc + h + 1, _LANES), jnp.int32),
+            pltpu.VMEM((1 + n_pay, sc, _LANES), jnp.int32),
+            pltpu.SMEM((cb, 4), jnp.int32),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=jax.default_backend() != "tpu",
+    )(voxels.astype(jnp.float32))
+
+    keys_and_counts = outs[0]
+    kept = keys_and_counts[:, cap_chunks, 0, 0]
+    total = keys_and_counts[:, cap_chunks, 0, 1]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (bb * cb, cap_pad), 1)
+    mask = idx < kept[:, None]
+    rows_keys = jnp.where(
+        mask, keys_and_counts[:, :cap_chunks].reshape(bb * cb, cap_pad),
+        INVALID)
+    rows_kx = None
+    if with_kx:
+        rows_kx = jnp.where(mask, outs[1].reshape(bb * cb, cap_pad), 0)
+    sums = outs[-1]
+    emit = sums[:, 0, 0]
+    drop = sums[:, 0, 1] if with_kx else jnp.zeros((bb,), jnp.int32)
+    return rows_keys, rows_kx, kept, total, emit, drop

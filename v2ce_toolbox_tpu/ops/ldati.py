@@ -621,6 +621,7 @@ def _sample_events_v3(
     sort_cap: Optional[int] = None,
     pre_ordered: bool = False,
     packed=None,
+    packed_rows=None,
     return_rows: bool = False,
 ):
     """Sort-light sampler core. The reference's per-channel gather/argsort
@@ -703,7 +704,18 @@ def _sample_events_v3(
     # extra field is widened below to keep the non-chain marker).
     defer_draw = use_multi or wide
 
-    if packed is not None:
+    if packed_rows is not None:
+        # fully fused generation + chain compaction (ops/gen_pallas.
+        # gen_compact): the candidate grids never reach HBM; the kernel
+        # hands back the already-compacted (frame*bin, cap_bin) rows
+        # plus the per-frame emit/over-cap totals (tests/test_gen_pallas
+        # .py asserts stream equality vs the unfused chain)
+        assert strategy == "none" or defer_draw, (
+            "packed generation requires the deferred-draw path")
+        chain_keys, chain_pays, total_emit_pre, cap_dropped_pre = \
+            packed_rows
+        keys0 = payloads = None
+    elif packed is not None:
         # fused generation (ops/gen_pallas.gen_pack): keys/payloads and
         # the per-frame emit/over-cap totals were produced in ONE Pallas
         # pass over the voxel grid — bit-identical to the block below
@@ -762,8 +774,9 @@ def _sample_events_v3(
     chunk = 16384   # measured (round 3, compact_chunk probe): 2.24 Gelem/s
                     # at 16384 vs 2.13 at 8192 and 1.93 at 32768; the
                     # place-based kernel lifts it to 2.86 (compact_algo)
-    chain_keys, chain_pays, _, _ = compact_rows(
-        keys0, payloads, cap=cap_bin, chunk=chunk, algo="place")
+    if packed_rows is None:
+        chain_keys, chain_pays, _, _ = compact_rows(
+            keys0, payloads, cap=cap_bin, chunk=chunk, algo="place")
 
     chain_rel = None
     if defer_draw:
@@ -910,7 +923,7 @@ def _sample_events_v3(
 
     # per-frame emit totals are bounded by cb*seg*mepv <= ~26M per frame,
     # far inside int32 — sum in int32 (int64 is unavailable without x64)
-    if packed is not None:
+    if packed is not None or packed_rows is not None:
         total_emit = total_emit_pre
         cap_dropped_f = cap_dropped_pre
     else:
@@ -966,7 +979,7 @@ def _sample_events_v3(
         "additional_events_strategy", "bidirectional",
         "max_events_per_voxel", "max_multi_voxels", "capacity",
         "use_v3", "cap_bin", "multi_cap", "sort_cap", "use_gen_kernel",
-        "return_rows",
+        "use_gen_compact", "return_rows",
     ),
 )
 def sample_events(
@@ -987,6 +1000,7 @@ def sample_events(
     multi_cap: int = 4096,
     sort_cap: Optional[int] = 1 << 14,
     use_gen_kernel: bool = True,
+    use_gen_compact: bool = True,
     return_rows: bool = False,
 ):
     """Sample a timestamped event stream from predicted voxels — the
@@ -1031,8 +1045,44 @@ def sample_events(
     pre_ordered = take_v3 and pooling_type == "none"
 
     if pre_ordered and use_gen_kernel and not bidirectional:
-        from v2ce_toolbox_tpu.ops.gen_pallas import gen_pack
+        from v2ce_toolbox_tpu.ops.gen_pallas import gen_compact, gen_pack
         from v2ce_toolbox_tpu.ops.gen_pallas import supported as _gen_ok
+        from v2ce_toolbox_tpu.ops.gen_pallas import (
+            supported_compact as _gen_compact_ok,
+        )
+
+        if (use_gen_compact
+                and _gen_compact_ok(h, w, additional_events_strategy,
+                                    max_events_per_voxel)):
+            # fully fused generation + chain compaction: the candidate
+            # grids stay in VMEM; only the compacted (frame*bin,
+            # cap_bin) rows reach HBM (~208 MB of key/kx round-trip
+            # traffic removed per 16-frame 260x346 window). Candidate
+            # order within a row becomes (polarity, w-block, h, w%128);
+            # the downstream sort canonicalizes, so the stream is
+            # bit-identical to the unfused chain whenever cap_bin /
+            # multi_cap don't bind (and always for W <= 128 or
+            # strategy='none'; tests/test_gen_pallas.py).
+            seg = p * h * w
+            rows_keys, rows_kx, _, _, emit_tot, drop_tot = gen_compact(
+                voxels, fps=fps, t0=t0,
+                strategy=additional_events_strategy,
+                mepv=max_events_per_voxel, vox_bits=seg_bits,
+                cap_bin=cap_bin)
+            bin_starts = (jnp.arange(cb, dtype=jnp.float32) * voxel_step
+                          + t0)
+            row_pays = [rows_kx] if rows_kx is not None else []
+            return _sample_events_v3(
+                None, None, None, None,
+                (bin_starts * 1e6).astype(jnp.int32), key,
+                bb=bb, p=p, cb=cb, h=h, w=w,
+                strategy=additional_events_strategy,
+                voxel_step=voxel_step, t0=t0,
+                max_events_per_voxel=max_events_per_voxel,
+                cap_bin=cap_bin, multi_cap=multi_cap, capacity=capacity,
+                sort_cap=sort_cap, pre_ordered=True,
+                packed_rows=(rows_keys, row_pays, emit_tot, drop_tot),
+                return_rows=return_rows)
 
         if _gen_ok(h, w, additional_events_strategy, max_events_per_voxel):
             # fused generation: relocate + slope + candidate packing in
